@@ -1,0 +1,51 @@
+"""Iterator-form pandas UDFs wrapping the numpy models.
+
+Pattern (north rule: "model broadcast per executor, zero per-row Python"):
+the trained model dict (plain numpy arrays) is broadcast once per job; the
+iterator-form UDF dereferences the broadcast ONCE per task, then scores each
+Arrow batch with pure-numpy batch math (models/hashing.py). This replaces
+the reference's per-request descriptor-pool rebuild
+(/root/reference/data-quality-server/src/handlers.rs:113-123) with Spark's
+broadcast-once model.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+
+from ..models import langid as langid_model
+from ..models import ngram as ngram_model
+from ..schema import SCORES_TYPE
+
+
+def broadcast_models(spark: SparkSession, langid_m=None, lm=None):
+    """Train (or accept) both models and broadcast them once for the job."""
+    payload = {
+        "langid": langid_m if langid_m is not None else langid_model.train(),
+        "lm": lm if lm is not None else ngram_model.train(),
+    }
+    return spark.sparkContext.broadcast(payload)
+
+
+def make_scores_udf(bc):
+    """pandas UDF text -> struct<lang,lang_conf,ppl>, one hashing pass setup
+    per task (iterator form), numpy math per batch."""
+
+    @pandas_udf(SCORES_TYPE)
+    def scores(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        models = bc.value  # once per task
+        m_lang = models["langid"]
+        m_lm = models["lm"]
+        for s in batches:
+            texts = s.tolist()
+            lang, conf = langid_model.predict(texts, m_lang)
+            ppl = ngram_model.perplexity(texts, m_lm)
+            yield pd.DataFrame(
+                {"lang": lang, "lang_conf": conf, "ppl": ppl}
+            )
+
+    return scores

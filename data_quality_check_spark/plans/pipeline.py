@@ -1,0 +1,159 @@
+"""The quality-filter pipeline: scan → validate → score → scrub → label.
+
+Spark re-imagination of the reference's validate_json orchestration
+(/root/reference/data-quality-server/src/json_validation.rs:17-149): what
+the reference does per HTTP request becomes ONE declarative plan per batch —
+a single narrow select chain (whole-stage codegen) plus exactly one shuffle
+(duplicate-turn detection on the composite key (conv_id, turn_idx)).
+
+Scale design (100 TB / 10^12 turns):
+  * All heuristic rules + scrub are native expressions → JVM, codegen, no
+    Python in the hot path; filters/column pruning push to the Parquet scan.
+  * The model scores are ONE iterator pandas UDF (Arrow batches, broadcast
+    models) computing langid+perplexity in a single hashing pass.
+  * The only wide dependency keys on (conv_id, turn_idx) — high cardinality,
+    no conversation-length skew. Conversation-LEVEL grouping (stable output
+    ordering) partitions by conv_id only where requested, with a documented
+    salting helper for pathological conversations.
+  * AQE handles partition coalescing; output is repartitioned by conv_id and
+    sorted within partitions for stable (conv_id, turn_idx) ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..config import DEFAULT_RULESET, RuleSet
+from ..functions import rules
+from ..functions.scrub import scrub_column
+from ..functions.udfs import broadcast_models, make_scores_udf
+
+FEATURE_NAMES = (
+    "n_chars", "n_words", "n_lines", "mean_word_len", "max_word_len",
+    "symbol_ratio", "stopword_frac", "alpha_frac", "dup_line_frac",
+    "bullet_frac", "ellipsis_frac",
+)
+
+
+def label_turns(
+    df: DataFrame,
+    cfg: RuleSet = DEFAULT_RULESET,
+    *,
+    with_models: bool = True,
+    bc_models=None,
+    keep_features: bool = False,
+) -> DataFrame:
+    """Add keep/drop_reasons/text_scrubbed (+ lang/lang_conf/ppl) columns.
+
+    `with_models=False` gives the heuristic-only pipeline (fully
+    SQL-expressible — used by the DuckDB correctness oracle).
+    """
+    text = F.col("text")
+
+    # duplicate (conv_id, turn_idx) detection — composite key, skew-free
+    dup_count = F.count(F.lit(1)).over(
+        Window.partitionBy("conv_id", "turn_idx")
+    )
+
+    feats = rules.feature_columns(text)
+    cols = {c: F.col(c) for c in ("conv_id", "turn_idx", "role", "text",
+                                  "tool", "ts")}
+    flags = rules.validation_flags(cols, cfg, dup_count)
+    flags += rules.heuristic_flags(feats, text, cfg)
+
+    out = df
+    if with_models:
+        if bc_models is None:
+            bc_models = broadcast_models(df.sparkSession)
+        scores = make_scores_udf(bc_models)
+        out = out.withColumn("_scores", scores(text))
+        lang = F.col("_scores.lang")
+        lang_conf = F.col("_scores.lang_conf")
+        ppl = F.col("_scores.ppl")
+        flags = flags + [
+            ("lang_conf", text.isNotNull()
+             & (lang_conf < cfg.min_lang_conf)),
+            ("perplexity", text.isNotNull() & (ppl > cfg.max_perplexity)),
+        ]
+
+    drop_reasons = rules.reasons_array(flags)
+    out = out.withColumn("drop_reasons", drop_reasons)
+    out = out.withColumn("keep", F.size("drop_reasons") == 0)
+    out = out.withColumn("text_scrubbed", scrub_column(text))
+    if with_models:
+        out = (
+            out.withColumn("lang", lang)
+            .withColumn("lang_conf", lang_conf)
+            .withColumn("ppl", ppl)
+            .drop("_scores")
+        )
+    if keep_features:
+        for name in FEATURE_NAMES:
+            out = out.withColumn(name, feats[name])
+    return out
+
+
+def stable_order(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Stable (conv_id, turn_idx) ordering: hash-partition by conv_id, sort
+    within partitions. One shuffle; downstream readers see each conversation
+    contiguous and in turn order."""
+    parted = (df.repartition(num_partitions, "conv_id") if num_partitions
+              else df.repartition("conv_id"))
+    return parted.sortWithinPartitions("conv_id", "turn_idx")
+
+
+def salted_repartition(df: DataFrame, buckets: int, turns_per_chunk: int = 4096,
+                       num_partitions: int | None = None) -> DataFrame:
+    """Skew-defusing repartition for conversation-level work: a pathological
+    10^5-turn conversation is split into `turn_idx // turns_per_chunk` chunks
+    salted across `buckets` partitions; callers re-merge per conv_id only
+    where conversation-global context is required."""
+    salt = F.pmod(
+        F.xxhash64("conv_id", F.floor(F.col("turn_idx") / turns_per_chunk)),
+        F.lit(buckets),
+    )
+    df = df.withColumn("_salt", salt)
+    parted = (df.repartition(num_partitions, "conv_id", "_salt")
+              if num_partitions else df.repartition("conv_id", "_salt"))
+    return parted
+
+
+def metrics_table(labeled: DataFrame, cfg: RuleSet = DEFAULT_RULESET,
+                  *, with_models: bool = True,
+                  input_files: bool = True) -> DataFrame:
+    """Per-partition lineage + metrics — the batch analog of the reference's
+    OTel counter/histogram report (/root/reference/data-quality-server/src/
+    metrics.rs:11-31, emission json_validation.rs:44-83).
+
+    One row per (partition, input file): turn counts, keep/drop counts and a
+    per-reason histogram map, tagged with the ruleset version.
+    """
+    from ..config import REASONS
+
+    reasons = [r for r in REASONS
+               if with_models or r not in ("lang_conf", "perplexity")]
+    file_col = (F.col("_metadata.file_path") if input_files
+                else F.lit("<memory>"))
+    base = labeled.select(
+        F.spark_partition_id().alias("partition_id"),
+        file_col.alias("input_file"),
+        F.col("keep"),
+        F.col("drop_reasons"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_turns"),
+        F.count_if(F.col("keep")).alias("n_kept"),
+        F.count_if(~F.col("keep")).alias("n_dropped"),
+    ]
+    reason_entries = []
+    for r in reasons:
+        reason_entries.append(F.lit(r))
+        reason_entries.append(
+            F.count_if(F.array_contains("drop_reasons", r))
+        )
+    metrics = (
+        base.groupBy("partition_id", "input_file")
+        .agg(*aggs, F.create_map(*reason_entries).alias("reason_counts"))
+        .withColumn("ruleset_version", F.lit(cfg.version))
+    )
+    return metrics
