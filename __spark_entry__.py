@@ -1,38 +1,475 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() entries run at sf=0.01 and are compared against oracle_sql()
+via DuckDB (row-count + schema + order-insensitive value-hash). Every
+float that reaches the compare is scaled+floored to an integer, or is a
+ratio of integers computed identically in both engines; double SUMs are
+never emitted (order-dependent).
+
+Operators whose semantics are not SQL-expressible (broadcast numpy model
+scores, MinHash/SimHash signatures) are rows-only checked here and get
+exact oracle-parity tests in tests/ instead.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from data_quality_check_spark.config import DEFAULT_RULESET as CFG
+from data_quality_check_spark.functions import rules, scrub
+from data_quality_check_spark.functions.udfs import broadcast_models
+from data_quality_check_spark.operators import dedup, similarity, textstats
+from data_quality_check_spark.plans import pipeline
+from data_quality_check_spark.sources import transcripts
+
+SF001 = "/root/testdata/sf0.001"
+
+_BC = {}
+
+
+def _models(spark):
+    if "bc" not in _BC:
+        _BC["bc"] = broadcast_models(spark)
+    return _BC["bc"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _scaled(col, factor: float):
+    return F.floor(col * factor).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full quality-filter pipeline (validation + heuristics +
+    langid + perplexity + scrub) over transcripts at sf0.001, stable
+    (conv_id, turn_idx) ordering."""
+    t = transcripts.load(spark, SF001)
+    lab = pipeline.label_turns(t, CFG, with_models=True,
+                               bc_models=_models(spark))
+    out = lab.select(
+        "conv_id", "turn_idx", "role", "tool", "keep",
+        F.array_join("drop_reasons", ",").alias("drop_reasons"),
+        "text_scrubbed", "lang", "lang_conf", "ppl",
+    )
+    return pipeline.stable_order(out, 8)
+
+
+# ---------------------------------------------------------------------------
+# gate queries
+# ---------------------------------------------------------------------------
+
+def _q_qf_pipeline(spark, sf_dir):
+    t = transcripts.load(spark, sf_dir)
+    lab = pipeline.label_turns(t, CFG, with_models=False)
+    return lab.select(
+        "conv_id", "turn_idx", "role", "tool", "keep",
+        F.array_join("drop_reasons", ",").alias("drop_reasons"),
+        "text_scrubbed",
+    )
+
+
+def _q_qf_validate(spark, sf_dir):
+    t = transcripts.load(spark, sf_dir)
+    from pyspark.sql import Window
+    dup = F.count(F.lit(1)).over(Window.partitionBy("conv_id", "turn_idx"))
+    cols = {c: F.col(c) for c in ("conv_id", "turn_idx", "role", "text",
+                                  "tool", "ts")}
+    flags = rules.validation_flags(cols, CFG, dup)
+    reasons = rules.reasons_array(flags)
+    return t.select(
+        "conv_id", "turn_idx",
+        F.array_join(reasons, ",").alias("violations"),
+        (F.size(reasons) == 0).alias("valid"),
+    )
+
+
+def _q_qf_features(spark, sf_dir):
+    t = transcripts.load(spark, sf_dir)
+    f = rules.feature_columns(F.col("text"))
+    return t.select(
+        "conv_id", "turn_idx",
+        f["n_chars"].alias("n_chars"),
+        f["n_words"].alias("n_words"),
+        f["n_lines"].alias("n_lines"),
+        f["max_word_len"].alias("max_word_len"),
+        _scaled(f["mean_word_len"], 1e6).alias("mean_word_len_u"),
+        _scaled(f["symbol_ratio"], 1e6).alias("symbol_ratio_u"),
+        _scaled(f["stopword_frac"], 1e6).alias("stopword_frac_u"),
+        _scaled(f["alpha_frac"], 1e6).alias("alpha_frac_u"),
+        _scaled(f["dup_line_frac"], 1e6).alias("dup_line_frac_u"),
+    )
+
+
+def _q_qf_scrub(spark, sf_dir):
+    t = transcripts.load(spark, sf_dir)
+    return t.select(
+        "conv_id", "turn_idx",
+        scrub.scrub_column(F.col("text")).alias("text_scrubbed"),
+    )
+
+
+def _q_qf_reason_histogram(spark, sf_dir):
+    lab = _q_qf_pipeline(spark, sf_dir)
+    return (
+        lab.select(F.explode(F.split("drop_reasons", ",")).alias("reason"))
+        .filter(F.col("reason") != "")
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_qf_pipeline_full(spark, sf_dir):
+    t = transcripts.load(spark, sf_dir)
+    lab = pipeline.label_turns(t, CFG, with_models=True,
+                               bc_models=_models(spark))
+    return lab.select(
+        "conv_id", "turn_idx", "keep",
+        F.array_join("drop_reasons", ",").alias("drop_reasons"),
+        "text_scrubbed", "lang",
+        _scaled(F.col("lang_conf"), 1e6).alias("lang_conf_u"),
+        _scaled(F.least(F.col("ppl"), F.lit(1e6)), 1e3).alias("ppl_m"),
+    )
+
+
+def _q_qf_metrics(spark, sf_dir):
+    t = transcripts.load(spark, sf_dir)
+    lab = pipeline.label_turns(t, CFG, with_models=True,
+                               bc_models=_models(spark))
+    m = pipeline.metrics_table(lab, CFG, input_files=False)
+    return m.groupBy("ruleset_version").agg(
+        F.sum("n_turns").alias("n_turns"),
+        F.sum("n_kept").alias("n_kept"),
+        F.sum("n_dropped").alias("n_dropped"),
+    )
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_docs(spark, sf_dir))
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3,
+                                      threshold=0.5)
+    return pairs.select("doc_a", "doc_b",
+                        _scaled(F.col("jaccard"), 1e6).alias("jaccard_u"))
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _q_dedup_embedding(spark, sf_dir):
+    return similarity.pairs_above(_emb(spark, sf_dir), threshold=0.8)
+
+
+def _q_ann_top1(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id"),
+                   F.col("embedding").cast("array<double>").alias("va"))
+    b = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").cast("array<double>").alias("vb"))
+    from pyspark.sql import Window
+    sim = similarity._cosine_col(F.col("va"), F.col("vb"))
+    w = (Window.partitionBy("vec_id")
+         .orderBy(F.col("cos").desc(), F.col("neighbor_id")))
+    return (
+        a.join(b, F.col("vec_id") != F.col("neighbor_id"))
+        .withColumn("cos", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "neighbor_id")
+    )
+
+
+def _q_ann_lsh_top1(spark, sf_dir):
+    top = similarity.lsh_topk(_emb(spark, sf_dir), k=1)
+    return top.select("vec_id", "neighbor_id")
+
+
+def _q_text_tokens(spark, sf_dir):
+    return textstats.token_counts(_docs(spark, sf_dir))
+
+
+def _q_text_quality(spark, sf_dir):
+    q = textstats.quality_scores(_docs(spark, sf_dir), CFG)
+    return q.select(
+        "doc_id", "n_words", "n_chars",
+        _scaled(F.col("mean_word_len"), 1e6).alias("mean_word_len_u"),
+        _scaled(F.col("stopword_frac"), 1e6).alias("stopword_frac_u"),
+        F.array_join("fail_reasons", ",").alias("fail_reasons"),
+        "passes",
+    )
+
+
+def _q_text_fingerprint(spark, sf_dir):
+    return textstats.fingerprints(_docs(spark, sf_dir))
+
+
+def _q_text_langid(spark, sf_dir):
+    out = textstats.langid_table(_docs(spark, sf_dir), _models(spark))
+    return out.select(
+        "doc_id", "lang_pred",
+        _scaled(F.col("lang_conf"), 1e6).alias("lang_conf_u"),
+        _scaled(F.least(F.col("ppl"), F.lit(1e6)), 1e3).alias("ppl_m"),
+    )
+
+
+def _q_events_window(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    win = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    return (
+        ev.groupBy(win.alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long"))
+            .alias("sum_value_k"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def _q_multimodal_features(spark, sf_dir):
+    from data_quality_check_spark.operators import multimodal
+    media = multimodal.synth_media(spark, n=256)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id", "kind",
+        _scaled(F.col("features")[0], 1e6).alias("f0_u"),
+        F.size("features").alias("dim"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "qf_pipeline": _q_qf_pipeline,
+        "qf_validate": _q_qf_validate,
+        "qf_features": _q_qf_features,
+        "qf_scrub": _q_qf_scrub,
+        "qf_reason_histogram": _q_qf_reason_histogram,
+        "qf_pipeline_full": _q_qf_pipeline_full,
+        "qf_metrics": _q_qf_metrics,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
+        "ann_top1": _q_ann_top1,
+        "ann_lsh_top1": _q_ann_lsh_top1,
+        "text_tokens": _q_text_tokens,
+        "text_quality": _q_text_quality,
+        "text_fingerprint": _q_text_fingerprint,
+        "text_langid": _q_text_langid,
+        "events_window": _q_events_window,
+        "multimodal_features": _q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+def _duck_transcripts() -> str:
+    """Derived transcript CTE incl. dup_count + Python-free reuse."""
+    return f"""
+t AS ({transcripts.duckdb_sql()}),
+d AS (
+  SELECT *,
+    count(*) OVER (PARTITION BY conv_id, turn_idx) AS dup_count,
+    CASE WHEN ts_epoch IS NULL THEN NULL ELSE to_timestamp(ts_epoch) END AS ts
+  FROM t
+)"""
+
+
+def _reasons_join(reasons_expr: str) -> str:
+    return (f"coalesce(list_aggregate({reasons_expr}, 'string_agg', ','),"
+            f" '')")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    vf = rules.validation_flags_sql(CFG)
+    hf = rules.heuristic_flags_sql(CFG)
+    all_reasons = rules.reasons_sql(vf + hf)
+    v_reasons = rules.reasons_sql(vf)
+    f = rules.feature_sql()
+    td = _duck_transcripts()
+
+    qf_pipeline = f"""
+WITH {td}
+SELECT conv_id, turn_idx, role, tool,
+  len({all_reasons}) = 0 AS keep,
+  {_reasons_join(all_reasons)} AS drop_reasons,
+  {scrub.scrub_sql('text')} AS text_scrubbed
+FROM d
+"""
+
+    qf_validate = f"""
+WITH {td}
+SELECT conv_id, turn_idx,
+  {_reasons_join(v_reasons)} AS violations,
+  len({v_reasons}) = 0 AS valid
+FROM d
+"""
+
+    qf_features = f"""
+WITH {td}
+SELECT conv_id, turn_idx,
+  {f['n_chars']} AS n_chars,
+  {f['n_words']} AS n_words,
+  {f['n_lines']} AS n_lines,
+  {f['max_word_len']} AS max_word_len,
+  CAST(floor(({f['mean_word_len']}) * 1e6) AS BIGINT) AS mean_word_len_u,
+  CAST(floor(({f['symbol_ratio']}) * 1e6) AS BIGINT) AS symbol_ratio_u,
+  CAST(floor(({f['stopword_frac']}) * 1e6) AS BIGINT) AS stopword_frac_u,
+  CAST(floor(({f['alpha_frac']}) * 1e6) AS BIGINT) AS alpha_frac_u,
+  CAST(floor(({f['dup_line_frac']}) * 1e6) AS BIGINT) AS dup_line_frac_u
+FROM d
+"""
+
+    qf_scrub = f"""
+WITH {td}
+SELECT conv_id, turn_idx, {scrub.scrub_sql('text')} AS text_scrubbed
+FROM d
+"""
+
+    qf_reason_histogram = f"""
+WITH {td},
+lab AS (SELECT {all_reasons} AS rs FROM d)
+SELECT reason, count(*) AS n
+FROM (SELECT unnest(rs) AS reason FROM lab)
+GROUP BY reason
+"""
+
+    norm = ("regexp_replace(regexp_replace(lower(text), '[ \t\n\r]+', ' ',"
+            " 'g'), '^ | $', '', 'g')")
+    dedup_exact = f"""
+SELECT md5({norm}) AS fingerprint,
+  count(*) AS n_docs, min(doc_id) AS representative
+FROM documents
+GROUP BY 1 HAVING count(*) > 1
+"""
+
+    dedup_ngram_jaccard = """
+WITH words AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[ \t\n\r]+'),
+                w -> w <> '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM (
+    SELECT doc_id,
+      CASE WHEN len(ws) >= 3 THEN
+        list_transform(range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      ELSE [array_to_string(ws, ' ')] END AS shingles
+    FROM words
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  CAST(floor(CAST(n_shared AS DOUBLE)
+       / CAST(sa.n + sb.n - n_shared AS DOUBLE) * 1e6) AS BIGINT) AS jaccard_u
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_shared AS DOUBLE) / CAST(sa.n + sb.n - n_shared AS DOUBLE) >= 0.5
+"""
+
+    dedup_embedding = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      >= 0.8
+"""
+
+    ann_top1 = """
+SELECT vec_id, neighbor_id FROM (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+    row_number() OVER (
+      PARTITION BY a.vec_id
+      ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]) DESC,
+               b.vec_id
+    ) AS rnk
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+) WHERE rnk = 1
+"""
+
+    pieces_re = "([A-Za-zÀ-ÖØ-öø-ÿ]+|[0-9]+|[^A-Za-z0-9À-ÖØ-öø-ÿ \t\n\r])"
+    text_tokens = f"""
+SELECT doc_id,
+  coalesce(length(text), 0) AS n_chars,
+  coalesce(len(list_filter(string_split_regex(text, '[ \t\n\r]+'),
+           w -> w <> '')), 0) AS n_tokens,
+  coalesce(len(list_filter(string_split_regex(
+    regexp_replace(text, '{pieces_re}', ' \\1 ', 'g'), '[ \t\n\r]+'),
+    w -> w <> '')), 0) AS n_pieces
+FROM documents
+"""
+
+    hf_doc = rules.heuristic_flags_sql(CFG)
+    doc_reasons = rules.reasons_sql(hf_doc)
+    text_quality = f"""
+SELECT doc_id,
+  {f['n_words']} AS n_words,
+  {f['n_chars']} AS n_chars,
+  CAST(floor(({f['mean_word_len']}) * 1e6) AS BIGINT) AS mean_word_len_u,
+  CAST(floor(({f['stopword_frac']}) * 1e6) AS BIGINT) AS stopword_frac_u,
+  {_reasons_join(doc_reasons)} AS fail_reasons,
+  len({doc_reasons}) = 0 AS passes
+FROM documents
+"""
+
+    text_fingerprint = f"""
+SELECT doc_id, md5({norm}) AS fingerprint FROM documents
+"""
+
+    events_window = """
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+  event_type,
+  count(*) AS n,
+  sum(CAST(floor(value * 1000) AS BIGINT)) AS sum_value_k,
+  count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+    return {
+        "qf_pipeline": qf_pipeline,
+        "qf_validate": qf_validate,
+        "qf_features": qf_features,
+        "qf_scrub": qf_scrub,
+        "qf_reason_histogram": qf_reason_histogram,
+        "dedup_exact": dedup_exact,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_embedding": dedup_embedding,
+        "ann_top1": ann_top1,
+        "text_tokens": text_tokens,
+        "text_quality": text_quality,
+        "text_fingerprint": text_fingerprint,
+        "events_window": events_window,
+        # rows-only (model scores / own-hash signatures not SQL-expressible):
+        # qf_pipeline_full, qf_metrics, dedup_minhash_lsh, dedup_simhash,
+        # ann_lsh_top1, text_langid, multimodal_features
+    }

@@ -39,11 +39,13 @@ def encode_batch(texts, max_bytes: int = 512):
     return buf, starts, lens
 
 
-def ngram_hashes(buf: np.ndarray, starts: np.ndarray, order: int):
+def ngram_hashes(buf: np.ndarray, starts: np.ndarray, order: int,
+                 raw: bool = False):
     """Hashes of all `order`-byte windows that do not cross a text boundary.
 
-    Returns (hashes, seg): bucket ids in [0, N_BUCKETS) and the owning text
-    index for each window. Deterministic polynomial hash, int64 math.
+    Returns (hashes, seg): bucket ids in [0, N_BUCKETS) — or full 32-bit
+    mixed hashes when raw=True (MinHash/SimHash need the resolution) — and
+    the owning text index per window. Deterministic polynomial hash, int64.
     """
     n = int(buf.size)
     if n < order:
@@ -52,9 +54,10 @@ def ngram_hashes(buf: np.ndarray, starts: np.ndarray, order: int):
     m = n - order + 1
     h = np.zeros(m, dtype=np.int64)
     for k in range(order):
-        h = h * 31 + a[k : k + m]
+        h = (h * 31 + a[k : k + m]) & 0xFFFFFFFFFFFF
     h = (h * 2654435761) & 0xFFFFFFFF
-    h = (h >> 7) & _MASK
+    if not raw:
+        h = (h >> 7) & _MASK
     pos = np.arange(m, dtype=np.int64)
     seg = np.searchsorted(starts, pos, side="right") - 1
     valid = pos + order <= starts[seg + 1]

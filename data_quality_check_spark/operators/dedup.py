@@ -1,0 +1,272 @@
+"""Deduplication operators over a text corpus (documents table).
+
+Exact dedup, n-gram Jaccard near-dup, MinHash+LSH, SimHash — the standard
+large-scale training-data pipeline stack, each designed for the 100 TB path:
+
+  * exact:   one hash-groupBy shuffle on a fingerprint column (map-side
+             partial agg, no text movement — only the 32-char digest).
+  * jaccard: shingle-explode → co-shingle join → pair agg. Exact but
+    quadratic in bucket size; the scale path is MinHash below.
+  * minhash: signatures via ONE vectorized pandas UDF pass (numpy segment
+    mins over a concatenated byte buffer — no per-row Python), then LSH
+    banding: explode k_bands rows per doc, groupBy(band, band_hash) —
+    shuffle carries only (doc_id, 8-byte band hash), never the text.
+  * simhash: 32-bit signature from the same hashing pass; near-dup pairs via
+    4-byte band exact-match (hamming ≤ r by pigeonhole).
+
+All hashes are our own deterministic integer mixes — reproducible across
+Spark versions and engines (Spark's builtin hash()/xxhash64 are avoided in
+signatures so oracles/tests can recompute them in pure numpy).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from ..models import hashing
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def normalize_text(col):
+    """Canonical normalization for fingerprinting: lowercase + collapse
+    whitespace + trim. Same expression exists in DuckDB (entry oracle)."""
+    return F.regexp_replace(F.regexp_replace(F.lower(col), "[ \t\n\r]+", " "),
+                            "^ | $", "")
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) texts: fingerprint, group size,
+    representative (min doc_id), member list. Only the digest shuffles."""
+    fp = F.md5(normalize_text(F.col(text_col)))
+    return (
+        docs.select(F.col("doc_id"), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("representative"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# word n-gram Jaccard (exact near-dup)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact Jaccard over word n-gram shingle SETS via co-shingle join.
+
+    Plan: shingle-explode (narrow) → distinct (shuffle on (doc, shingle)) →
+    self-join on shingle → pair-level agg. Broadcast is NOT used: both sides
+    are the full corpus; at scale this operator is the verification stage
+    behind MinHash candidates, not a full-corpus sweep.
+    """
+    words = F.filter(F.split(F.lower(F.col("text")), "[ \t\n\r]+"),
+                     lambda w: w != F.lit(""))
+    nw = F.size(words)
+    shingles = F.when(nw >= n, F.transform(
+        F.sequence(F.lit(0), nw - n),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )).otherwise(F.array(F.array_join(words, " ")))
+    sh = (
+        docs.select("doc_id", F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_shingles").alias("size_b"))
+    return (
+        shared.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_shared"))
+            .cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+MINHASH_K = 32          # permutations
+LSH_BANDS = 8           # bands of 4 rows each
+_MERSENNE = (1 << 61) - 1
+_CHAR_SHINGLE = 5
+
+
+def _perm_params(k: int = MINHASH_K) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) for k universal-hash permutations.
+
+    a < 2^29 and shingle hashes < 2^32, so a*h < 2^61 and a*h + b < 2^62 —
+    no int64 overflow before the Mersenne reduction."""
+    rng = np.random.RandomState(42)
+    a = rng.randint(1, 1 << 29, size=k, dtype=np.int64) | 1
+    b = rng.randint(0, 1 << 61, size=k, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures_np(texts: list, k: int = MINHASH_K) -> np.ndarray:
+    """[n, k] int64 MinHash signatures over char-5-gram shingles.
+
+    One concatenated-buffer hashing pass (models/hashing.py) + per-
+    permutation segment minimum — no per-row Python. Pure-numpy, so tests
+    and oracles recompute signatures outside Spark bit-identically.
+    """
+    n = len(texts)
+    a, b = _perm_params(k)
+    buf, starts, _ = hashing.encode_batch(texts, max_bytes=4096)
+    h, seg = hashing.ngram_hashes(buf, starts, _CHAR_SHINGLE, raw=True)
+    out = np.full((n, k), _MERSENNE, dtype=np.int64)
+    if h.size:
+        for i in range(k):
+            vals = (a[i] * h + b[i]) % _MERSENNE
+            np.minimum.at(out[:, i], seg, vals)
+    return out
+
+
+def _band_hash(sig_slice: np.ndarray) -> np.ndarray:
+    """Deterministic 63-bit hash of a [n, rows] signature band."""
+    h = np.zeros(sig_slice.shape[0], dtype=np.int64)
+    for j in range(sig_slice.shape[1]):
+        h = (h * 1000003 + sig_slice[:, j]) % _MERSENNE
+    return h
+
+
+_SIG_SCHEMA = "doc_id long, band int, band_hash long, sig array<long>"
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.7,
+                      k: int = MINHASH_K, bands: int = LSH_BANDS) -> DataFrame:
+    """Candidate near-dup pairs via MinHash banding, scored by signature
+    agreement (estimated Jaccard), filtered at `threshold`.
+
+    Shuffle volume per doc: `bands` rows of (doc_id, band, band_hash, sig)
+    — the text never shuffles. Equal band-hash → candidate; pair appears
+    once per colliding band → dedup with groupBy max.
+    """
+    rows_per_band = k // bands
+
+    def explode_bands(batches):
+        for pdf in batches:
+            sig = minhash_signatures_np(pdf["text"].tolist(), k)
+            ids = pdf["doc_id"].to_numpy()
+            out = []
+            for bi in range(bands):
+                bh = _band_hash(sig[:, bi * rows_per_band:(bi + 1) * rows_per_band])
+                out.append(pd.DataFrame({
+                    "doc_id": ids,
+                    "band": np.full(len(ids), bi, dtype=np.int32),
+                    "band_hash": bh,
+                    "sig": list(sig),
+                }))
+            yield pd.concat(out, ignore_index=True)
+
+    sig_df = docs.select("doc_id", "text").mapInPandas(
+        explode_bands, schema=_SIG_SCHEMA
+    )
+    a = sig_df.alias("a")
+    b = sig_df.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.aggregate(
+                F.zip_with("a.sig", "b.sig",
+                           lambda x, y: (x == y).cast("int")),
+                F.lit(0), lambda acc, v: acc + v,
+            ).cast("double").alias("n_agree"),
+        )
+    )
+    return (
+        cand.groupBy("doc_a", "doc_b")
+        .agg((F.max("n_agree") / k).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash_np(texts: list) -> np.ndarray:
+    """32-bit SimHash per text from char-trigram bucket hashes (vectorized:
+    per-bit signed segment sums)."""
+    n = len(texts)
+    buf, starts, _ = hashing.encode_batch(texts, max_bytes=4096)
+    hv, seg = hashing.ngram_hashes(buf, starts, 3, raw=True)
+    out = np.zeros(n, dtype=np.int64)
+    for bit in range(SIMHASH_BITS):
+        signed = (((hv >> bit) & 1) * 2 - 1).astype(np.float64)
+        tot = hashing.segment_sum(signed, seg, n)
+        out |= (tot > 0).astype(np.int64) << bit
+    return out
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance ≤ max_hamming.
+
+    LSH by pigeonhole: split 32 bits into max_hamming+1 bands; any pair
+    within the distance agrees exactly on ≥1 band → band-equality join
+    finds all of them without a quadratic scan.
+    """
+    n_bands = max_hamming + 1
+    width = SIMHASH_BITS // n_bands
+
+    def compute(batches):
+        for pdf in batches:
+            sh = simhash_np(pdf["text"].tolist())
+            base = pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(),
+                                 "simhash": sh})
+            parts = []
+            for bi in range(n_bands):
+                band = (sh >> (bi * width)) & ((1 << width) - 1)
+                parts.append(base.assign(band=np.int32(bi), band_key=band))
+            yield pd.concat(parts, ignore_index=True)
+
+    sig = docs.select("doc_id", "text").mapInPandas(
+        compute, schema="doc_id long, simhash long, band int, band_key long"
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("hamming").alias("hamming"))
+    )
+    return pairs

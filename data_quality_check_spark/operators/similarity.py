@@ -1,0 +1,153 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, per the scale plan:
+  * brute_force_topk — exact: broadcast one side as a dense numpy matrix,
+    stream the other side through mapInPandas, compute cosine via one BLAS
+    matmul per Arrow batch. Correct baseline; O(N·M) — use when one side
+    fits in executor memory (the usual "query set vs corpus" shape).
+  * lsh_topk — approximate: random-hyperplane LSH buckets both sides, joins
+    within buckets only (shuffle keyed on (table, bucket)); multi-probe via
+    several independent hash tables. The 100 TB path: shuffle volume is
+    O(N·tables), never O(N·M).
+  * pairs_above — exact near-duplicate pairs by cosine ≥ threshold via the
+    declarative zip_with/aggregate form (JVM-side, Catalyst-visible; used
+    by the DuckDB-checked gate query).
+
+All randomness is seeded; hyperplanes are broadcast numpy arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def _cosine_col(a, b):
+    """Declarative cosine similarity between two array<double> columns —
+    sequential fold (same order DuckDB evaluates), so gate hashes match."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def pairs_above(emb: DataFrame, threshold: float = 0.95,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact (id_a, id_b) pairs with cosine ≥ threshold (id_a < id_b)."""
+    a = emb.select(F.col(id_col).alias("id_a"),
+                   F.col(vec_col).cast("array<double>").alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"),
+                   F.col(vec_col).cast("array<double>").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", _cosine_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def brute_force_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors for every vector, excluding self.
+
+    The corpus matrix is collected once on the driver (float64, normalized),
+    broadcast, and each Arrow batch of queries does ONE matmul against it.
+    Ties break on smaller neighbor id (deterministic).
+    """
+    spark = emb.sparkSession
+    pdf = emb.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    order = np.argsort(ids, kind="stable")
+    bc = spark.sparkContext.broadcast((ids[order], mat[order]))
+
+    def topk(batches):
+        corpus_ids, corpus = bc.value
+        for p in batches:
+            q = np.asarray(p[vec_col].tolist(), dtype=np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ corpus.T  # [batch, corpus]
+            qids = p[id_col].to_numpy()
+            self_mask = qids[:, None] == corpus_ids[None, :]
+            sims[self_mask] = -np.inf
+            # deterministic: sort by (-sim, corpus_id)
+            idx = np.lexsort((np.broadcast_to(corpus_ids, sims.shape),
+                              -sims), axis=-1)[:, :k]
+            rows = {
+                id_col: np.repeat(qids, k),
+                "neighbor_id": corpus_ids[idx].ravel(),
+                "cos": np.take_along_axis(sims, idx, axis=1).ravel(),
+                "rank": np.tile(np.arange(1, k + 1), len(qids)),
+            }
+            yield pd.DataFrame(rows)
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        topk, schema=f"{id_col} long, neighbor_id long, cos double, rank int"
+    )
+
+
+N_TABLES = 4
+N_PLANES = 10  # 2^10 buckets per table
+
+
+def _hyperplanes(dim: int, tables: int = N_TABLES,
+                 planes: int = N_PLANES) -> np.ndarray:
+    rng = np.random.RandomState(7)
+    return rng.standard_normal((tables, planes, dim))
+
+
+def lsh_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
+             vec_col: str = "embedding", tables: int = N_TABLES) -> DataFrame:
+    """Approximate top-k: random-hyperplane buckets × `tables` hash tables;
+    candidates = bucket collisions in any table; exact cosine re-rank.
+
+    Scale shape: each row emits `tables` (bucket, id, vec) tuples; the join
+    is bucket-equality, so shuffle is linear in N and work is quadratic only
+    within buckets (≈ N²/2^planes per table)."""
+    dim = len(emb.select(vec_col).head()[0])
+    planes = _hyperplanes(dim, tables)
+    bc = emb.sparkSession.sparkContext.broadcast(planes)
+
+    def bucketize(batches):
+        pl = bc.value
+        for p in batches:
+            v = np.asarray(p[vec_col].tolist(), dtype=np.float64)
+            out = []
+            for t in range(pl.shape[0]):
+                bits = (v @ pl[t].T) > 0
+                bucket = bits @ (1 << np.arange(pl.shape[1], dtype=np.int64))
+                out.append(pd.DataFrame({
+                    id_col: p[id_col].to_numpy(),
+                    "table": np.int32(t),
+                    "bucket": bucket,
+                    vec_col: p[vec_col],
+                }))
+            yield pd.concat(out, ignore_index=True)
+
+    bucketed = emb.select(id_col, vec_col).mapInPandas(
+        bucketize,
+        schema=f"{id_col} long, table int, bucket long, {vec_col} array<float>",
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = (
+        a.join(b, (F.col("a.table") == F.col("b.table"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias(id_col),
+                F.col(f"b.{id_col}").alias("neighbor_id"),
+                _cosine_col(F.col(f"a.{vec_col}").cast("array<double>"),
+                            F.col(f"b.{vec_col}").cast("array<double>"))
+                .alias("cos"))
+        .groupBy(id_col, "neighbor_id")
+        .agg(F.max("cos").alias("cos"))
+    )
+    from pyspark.sql import Window
+    w = (Window.partitionBy(id_col)
+         .orderBy(F.col("cos").desc(), F.col("neighbor_id")))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
