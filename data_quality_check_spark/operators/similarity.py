@@ -91,18 +91,30 @@ def brute_force_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
     )
 
 
-N_TABLES = 4
-N_PLANES = 10  # 2^10 buckets per table
+N_TABLES = 8
+TARGET_BUCKET = 64  # expected vectors per bucket → planes = log2(n/target)
 
 
 def _hyperplanes(dim: int, tables: int = N_TABLES,
-                 planes: int = N_PLANES) -> np.ndarray:
+                 planes: int = 10) -> np.ndarray:
     rng = np.random.RandomState(7)
     return rng.standard_normal((tables, planes, dim))
 
 
+def n_planes_for(n_vectors: int, target_bucket: int = TARGET_BUCKET) -> int:
+    """Bucket-granularity schedule: keep expected occupancy ≈ target_bucket,
+    so per-bucket work stays constant as the corpus grows (planes scales as
+    log2 N — at 10^9 vectors this is 24 planes, still one int64 key)."""
+    import math
+
+    if n_vectors <= target_bucket:
+        return 2
+    return max(2, min(24, int(math.log2(n_vectors / target_bucket)) + 1))
+
+
 def lsh_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
-             vec_col: str = "embedding", tables: int = N_TABLES) -> DataFrame:
+             vec_col: str = "embedding", tables: int = N_TABLES,
+             planes: int | None = None) -> DataFrame:
     """Approximate top-k: random-hyperplane buckets × `tables` hash tables;
     candidates = bucket collisions in any table; exact cosine re-rank.
 
@@ -110,8 +122,10 @@ def lsh_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
     is bucket-equality, so shuffle is linear in N and work is quadratic only
     within buckets (≈ N²/2^planes per table)."""
     dim = len(emb.select(vec_col).head()[0])
-    planes = _hyperplanes(dim, tables)
-    bc = emb.sparkSession.sparkContext.broadcast(planes)
+    if planes is None:
+        planes = n_planes_for(emb.count())
+    hp = _hyperplanes(dim, tables, planes)
+    bc = emb.sparkSession.sparkContext.broadcast(hp)
 
     def bucketize(batches):
         pl = bc.value

@@ -1,0 +1,90 @@
+"""Dedup operator tests: exact groups, n-gram Jaccard vs hand computation,
+MinHash estimate quality vs true Jaccard, SimHash hamming properties."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from data_quality_check_spark.operators import dedup
+
+DOCS = [
+    (0, "The quick brown fox jumps over the lazy dog"),
+    (1, "the  quick Brown fox jumps over the lazy dog"),   # exact dup after norm
+    (2, "The quick brown fox jumps over the lazy cat"),    # near dup
+    (3, "Completely different content about databases and indexes"),
+    (4, "Completely different content about databases and indexes"),  # exact
+    (5, "zzz unrelated text qqq"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs_df):
+    groups = {r["representative"]: r["n_docs"]
+              for r in dedup.exact_duplicates(docs_df).collect()}
+    assert groups == {0: 2, 3: 2}
+
+
+def _true_jaccard(a: str, b: str, n=3):
+    def sh(t):
+        ws = [w for w in t.lower().split() if w]
+        if len(ws) < n:
+            return {" ".join(ws)}
+        return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_ngram_jaccard_matches_hand_computation(docs_df):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs_df, n=3, threshold=0.3)
+             .collect()}
+    expected = _true_jaccard(DOCS[0][1], DOCS[2][1])
+    assert pairs[(0, 2)] == pytest.approx(expected)
+    assert pairs[(3, 4)] == pytest.approx(1.0)
+    assert (0, 5) not in pairs
+
+
+def test_minhash_signature_estimates_jaccard():
+    a, b = DOCS[0][1], DOCS[2][1]
+    sig = dedup.minhash_signatures_np([a, b], k=128)
+    est = (sig[0] == sig[1]).mean()
+    # char-5-gram jaccard, not word-3-gram — compute the true value directly
+    def shingles(t):
+        bs = t.encode()
+        return {bs[i:i + 5] for i in range(len(bs) - 4)}
+    true = len(shingles(a) & shingles(b)) / len(shingles(a) | shingles(b))
+    assert est == pytest.approx(true, abs=0.15)
+
+
+def test_minhash_identical_texts_full_agreement():
+    sig = dedup.minhash_signatures_np(["same text here", "same text here"])
+    assert (sig[0] == sig[1]).all()
+
+
+def test_minhash_lsh_pairs_find_near_dups(docs_df):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             dedup.minhash_lsh_pairs(docs_df, threshold=0.5).collect()}
+    assert (3, 4) in pairs          # identical
+    assert (0, 1) in pairs          # case/whitespace variant (high overlap)
+    assert (0, 5) not in pairs
+    assert (3, 5) not in pairs
+
+
+def test_simhash_properties():
+    sh = dedup.simhash_np([DOCS[0][1], DOCS[0][1], DOCS[2][1], DOCS[5][1]])
+    assert sh[0] == sh[1]
+    ham = bin(int(sh[0]) ^ int(sh[2])).count("1")
+    ham_far = bin(int(sh[0]) ^ int(sh[3])).count("1")
+    assert ham < ham_far
+
+
+def test_simhash_pairs(docs_df):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+             dedup.simhash_pairs(docs_df, max_hamming=3).collect()}
+    assert pairs[(3, 4)] == 0
+    assert (0, 5) not in pairs

@@ -1,0 +1,36 @@
+"""Local replica of the driver's DuckDB correctness gate at sf0.001.
+
+Every oracle-backed entry in __spark_entry__.queries() must hash-match its
+oracle_sql() twin; rows-only entries must at least produce stable rows."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+import gate_harness as gh
+
+SF = "/root/testdata/sf0.001"
+
+_QUERIES = entry.queries()
+_ORACLES = entry.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_oracle_backed(spark, name):
+    r = gh.compare(name, spark, SF, _QUERIES, _ORACLES, verbose=False)
+    assert r["match"], r
+
+
+@pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
+def test_rows_only(spark, name):
+    df = _QUERIES[name](spark, SF)
+    assert df.count() >= 0
+    assert df.columns
+
+
+def test_entry_smoke(spark):
+    df = entry.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"conv_id", "turn_idx", "keep", "text_scrubbed"} <= set(df.columns)

@@ -1,0 +1,69 @@
+"""Similarity-search tests: brute-force exactness vs numpy, LSH recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from data_quality_check_spark.operators import similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def np_corpus(emb):
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def _np_top1(ids, mat):
+    sims = mat @ mat.T
+    np.fill_diagonal(sims, -np.inf)
+    # deterministic tie-break on smaller id
+    best = np.lexsort((ids[None, :].repeat(len(ids), 0), -sims), axis=1)[:, 0]
+    return {int(i): int(ids[b]) for i, b in zip(ids, best)}
+
+
+def test_brute_force_topk_exact(emb, np_corpus):
+    ids, mat = np_corpus
+    expected = _np_top1(ids, mat)
+    got = {r["vec_id"]: r["neighbor_id"]
+           for r in similarity.brute_force_topk(emb, k=1).collect()}
+    assert got == expected
+
+
+def test_brute_force_topk_k3_ranked(emb):
+    rows = similarity.brute_force_topk(emb, k=3).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["vec_id"], []).append((r["rank"], r["cos"]))
+    for q, rs in by_q.items():
+        rs.sort()
+        assert [x[0] for x in rs] == [1, 2, 3]
+        assert rs[0][1] >= rs[1][1] >= rs[2][1]
+
+
+def test_lsh_topk_recall(emb, np_corpus):
+    ids, mat = np_corpus
+    expected = _np_top1(ids, mat)
+    got = {r["vec_id"]: r["neighbor_id"]
+           for r in similarity.lsh_topk(emb, k=1).collect()}
+    hits = sum(1 for q, n in got.items() if expected.get(q) == n)
+    recall = hits / len(expected)
+    assert recall >= 0.5  # approximate path: coverage bound, not exactness
+    assert len(got) >= 0.8 * len(expected)  # most queries get a candidate
+
+
+def test_pairs_above_symmetric_free(emb):
+    pairs = similarity.pairs_above(emb, threshold=0.5).collect()
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
