@@ -155,6 +155,22 @@ def _q_qf_metrics(spark, sf_dir):
     )
 
 
+def _q_json_validate(spark, sf_dir):
+    """Raw-JSON ingest validation (reference D1-D6): parse, unescape,
+    unknown-field rejection, type dispatch, field equality."""
+    from data_quality_check_spark.sources import jsonl
+
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    raw = spark.sql(jsonl.fixture_sql("spark"))
+    v = jsonl.validate_json_records(raw, "raw", required_field="role",
+                                    required_value="user")
+    return v.select(
+        "doc_id",
+        F.array_join("violations", ",").alias("violations"),
+        "valid",
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_docs(spark, sf_dir))
 
@@ -264,6 +280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_reason_histogram": _q_qf_reason_histogram,
         "qf_pipeline_full": _q_qf_pipeline_full,
         "qf_metrics": _q_qf_metrics,
+        "json_validate": _q_json_validate,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -455,7 +472,10 @@ FROM events
 GROUP BY 1, 2
 """
 
+    from data_quality_check_spark.sources import jsonl
+
     return {
+        "json_validate": jsonl.validation_oracle_sql(),
         "qf_pipeline": qf_pipeline,
         "qf_validate": qf_validate,
         "qf_features": qf_features,

@@ -34,26 +34,61 @@ ALPHA_RE = "[A-Za-zÀ-ÖØ-öø-ÿ]"
 BULLET_RE = "^[ \t]*[-*•]"
 ELLIPSIS_RE = "\\.\\.\\.$"
 
+# Character-set twins of WS / SYMBOL_CLASS for translate()-based counting.
+# Per-char translate is ~30x cheaper than regexp_replace in the hot path
+# (measured 37s -> ~1s per 1M rows for symbol_ratio) and has identical
+# per-codepoint semantics in Spark, DuckDB, and Python for these sets.
+WS_CHARS = " \t\n\r"
+LETTER_CHARS = (
+    "".join(chr(c) for c in range(ord("A"), ord("Z") + 1))
+    + "".join(chr(c) for c in range(ord("a"), ord("z") + 1))
+    + "".join(chr(c) for c in range(0xC0, 0xD7))   # À-Ö
+    + "".join(chr(c) for c in range(0xD8, 0xF7))   # Ø-ö
+    + "".join(chr(c) for c in range(0xF8, 0x100))  # ø-ÿ
+)
+ALLOWED_CHARS = LETTER_CHARS + "0123456789" + WS_CHARS
+
 
 # ---------------------------------------------------------------------------
 # Spark side
 # ---------------------------------------------------------------------------
 
 def feature_columns(text: Column) -> dict[str, Column]:
-    """Per-turn heuristic features as native Columns (null text → zeros)."""
+    """Per-turn heuristic features as native Columns (null text → zeros).
+
+    Single-expression form (each feature self-contained) used by gate
+    queries; the pipeline uses split_columns() + feature_columns_from() to
+    compute the shared word/line arrays once per row.
+    """
     words = F.filter(F.split(text, WS), lambda w: w != F.lit(""))
     lines = F.split(text, "\n")
+    return feature_columns_from(text, words, lines)
+
+
+def split_columns(text: Column) -> dict[str, Column]:
+    """The two shared array columns, to materialize ONCE in a projection."""
+    return {
+        "_words": F.filter(F.split(text, WS), lambda w: w != F.lit("")),
+        "_lines": F.split(text, "\n"),
+    }
+
+
+def feature_columns_from(text: Column, words: Column,
+                         lines: Column) -> dict[str, Column]:
     n_words = F.coalesce(F.size(words), F.lit(0))
     n_lines = F.coalesce(F.size(lines), F.lit(0))
     n_chars = F.coalesce(F.length(text), F.lit(0))
-    sum_word_len = F.aggregate(
-        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    # sum of word lengths == count of non-whitespace chars (words are the
+    # maximal non-WS runs) — translate() beats the aggregate() lambda ~15x
+    sum_word_len = F.coalesce(
+        F.length(F.translate(text, WS_CHARS, "")), F.lit(0)
     )
     mean_word_len = F.when(
         n_words > 0, sum_word_len.cast("double") / n_words.cast("double")
     ).otherwise(F.lit(0.0))
-    n_sym = n_chars - F.coalesce(
-        F.length(F.regexp_replace(text, SYMBOL_CLASS, "")), F.lit(0)
+    # translate strips the allowed set, so what remains IS the symbols
+    n_sym = F.coalesce(
+        F.length(F.translate(text, ALLOWED_CHARS, "")), F.lit(0)
     )
     symbol_ratio = F.when(
         n_chars > 0, n_sym.cast("double") / n_chars.cast("double")
@@ -65,8 +100,16 @@ def feature_columns(text: Column) -> dict[str, Column]:
     stopword_frac = F.when(
         n_words > 0, n_stop.cast("double") / n_words.cast("double")
     ).otherwise(F.lit(0.0))
+    # "contains a letter" via translate-length (cheaper than per-word regex
+    # inside the interpreted higher-order function); same value as
+    # rlike(ALPHA_RE) — both mean "≥1 char of LETTER_CHARS"
     n_alpha = F.coalesce(
-        F.size(F.filter(words, lambda w: w.rlike(ALPHA_RE))), F.lit(0)
+        F.size(F.filter(
+            words,
+            lambda w: F.length(F.translate(w, LETTER_CHARS, ""))
+            < F.length(w),
+        )),
+        F.lit(0),
     )
     alpha_frac = F.when(
         n_words > 0, n_alpha.cast("double") / n_words.cast("double")
@@ -181,11 +224,15 @@ def feature_sql(text: str = "text") -> dict[str, str]:
     n_words = f"coalesce(len({words}), 0)"
     n_lines = f"coalesce(len({lines}), 0)"
     n_chars = f"coalesce(length({text}), 0)"
-    sum_wl = f"coalesce(list_sum(list_transform({words}, w -> length(w))), 0)"
+    # translate()-based twins of the Spark expressions (same char sets)
+    ws_sql = "' ' || chr(9) || chr(10) || chr(13)"
+    allowed_printable = (ALLOWED_CHARS.replace("\t", "").replace("\n", "")
+                         .replace("\r", ""))
+    allowed_sql = f"'{allowed_printable}' || chr(9) || chr(10) || chr(13)"
+    sum_wl = f"coalesce(length(translate({text}, {ws_sql}, '')), 0)"
     mean_wl = (f"CASE WHEN {n_words} > 0 THEN CAST({sum_wl} AS DOUBLE)"
                f" / CAST({n_words} AS DOUBLE) ELSE 0.0 END")
-    n_sym = (f"{n_chars} - coalesce(length(regexp_replace({text},"
-             f" '{SYMBOL_CLASS}', '', 'g')), 0)")
+    n_sym = f"coalesce(length(translate({text}, {allowed_sql}, '')), 0)"
     symbol_ratio = (f"CASE WHEN {n_chars} > 0 THEN CAST({n_sym} AS DOUBLE)"
                     f" / CAST({n_chars} AS DOUBLE) ELSE 0.0 END")
     n_stop = (f"coalesce(len(list_filter({words},"

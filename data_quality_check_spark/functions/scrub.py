@@ -69,13 +69,27 @@ PATTERNS: tuple[tuple[str, str, str], ...] = (
 
 
 def scrub_column(col):
-    """Spark Column: apply the full scrub chain via native regexp_replace."""
+    """Spark Column: apply the full scrub chain via native regexp_replace.
+
+    The six PII patterns all require a digit, '@', or the literal 'http'
+    (email needs '@'; url needs 'http'; ipv4/cc/ssn/phone need digits), so
+    rows without any of those skip the whole PII chain behind one cheap
+    guard — semantically identical output, ~6 fewer regex passes on clean
+    text (most of a natural corpus).
+    """
     from pyspark.sql import functions as F
 
-    out = col
+    pii = col
     for _name, pat, repl in PATTERNS:
-        out = F.regexp_replace(out, pat, repl)
-    return out
+        if _name == "toxic":
+            continue
+        pii = F.regexp_replace(pii, pat, repl)
+    guarded = F.when(
+        col.rlike("[0-9@]") | col.contains("http"), pii
+    ).otherwise(col)
+    toxic = PATTERNS[-1]
+    assert toxic[0] == "toxic"
+    return F.regexp_replace(guarded, toxic[1], toxic[2])
 
 
 def scrub_sql(expr: str) -> str:

@@ -19,6 +19,7 @@ from pyspark.sql.functions import pandas_udf
 
 from ..models import langid as langid_model
 from ..models import ngram as ngram_model
+from ..models.scoring import score_batch
 from ..schema import SCORES_TYPE
 
 
@@ -41,9 +42,7 @@ def make_scores_udf(bc):
         m_lang = models["langid"]
         m_lm = models["lm"]
         for s in batches:
-            texts = s.tolist()
-            lang, conf = langid_model.predict(texts, m_lang)
-            ppl = ngram_model.perplexity(texts, m_lm)
+            lang, conf, ppl = score_batch(s.tolist(), m_lang, m_lm)
             yield pd.DataFrame(
                 {"lang": lang, "lang_conf": conf, "ppl": ppl}
             )

@@ -64,6 +64,36 @@ def ngram_hashes(buf: np.ndarray, starts: np.ndarray, order: int,
     return h[valid], seg[valid]
 
 
+def trigram_pass(texts, max_bytes: int = 512):
+    """ONE shared hashing pass for langid + perplexity scoring.
+
+    Returns (a, starts, h3, seg, vpos):
+      a     int64 view of the concatenated buffer
+      h3    bucket ids of all valid trigram windows (same values as
+            ngram_hashes(order=3) — identical formula, bit-identical)
+      seg   owning text index per window
+      vpos  buffer position of each window (for suffix-bigram backoff)
+
+    The segment mapping uses np.repeat over text lengths instead of
+    searchsorted — O(m) instead of O(m log n), and computed once instead of
+    once per model.
+    """
+    buf, starts, lens = encode_batch(texts, max_bytes)
+    n = len(lens)
+    a = buf.astype(np.int64)
+    m = int(buf.size) - 2
+    if m <= 0:
+        e = np.empty(0, dtype=np.int64)
+        return a, starts, e, e, e
+    seg = np.repeat(np.arange(n, dtype=np.int64), lens)[:m]
+    pos = np.arange(m, dtype=np.int64)
+    valid = pos + 3 <= starts[seg + 1]
+    h = (a[:m] * 31 + a[1:m + 1]) * 31 + a[2:m + 2]
+    h = (h * 2654435761) & 0xFFFFFFFF
+    h3 = (h >> 7) & _MASK
+    return a, starts, h3[valid], seg[valid], pos[valid]
+
+
 def count_table(texts, order: int) -> np.ndarray:
     """Bucketed n-gram counts over a training corpus (float64, N_BUCKETS)."""
     buf, starts, _ = encode_batch(texts, max_bytes=1 << 20)

@@ -45,13 +45,17 @@ def predict(texts, model: dict):
     Returns (langs: object ndarray, conf: float64 ndarray). Texts shorter
     than ORDER bytes get ("und", 0.0).
     """
-    langs = model["langs"]
-    table = model["table"]
     n = len(texts)
     if n == 0:
         return np.empty(0, dtype=object), np.empty(0, dtype=np.float64)
-    buf, starts, _lens = hashing.encode_batch(texts)
-    h, seg = hashing.ngram_hashes(buf, starts, ORDER)
+    _a, _starts, h, seg, _vpos = hashing.trigram_pass(texts)
+    return predict_pass(n, h, seg, model)
+
+
+def predict_pass(n: int, h, seg, model: dict):
+    """Score from a precomputed trigram pass (shared with the char LM)."""
+    langs = model["langs"]
+    table = model["table"]
     L = table.shape[0]
     cnt = np.bincount(seg, minlength=n).astype(np.float64)
     avg = np.zeros((L, n), dtype=np.float64)

@@ -53,13 +53,20 @@ def perplexity(texts, model: dict) -> np.ndarray:
     n = len(texts)
     if n == 0:
         return np.empty(0, dtype=np.float64)
-    buf, starts, _ = hashing.encode_batch(texts)
-    h3, seg3 = hashing.ngram_hashes(buf, starts, ORDER)
-    # stupid backoff: bigram suffix (bytes p+1, p+2) of each trigram window
+    a, _starts, h3, seg3, vpos = hashing.trigram_pass(texts)
+    return perplexity_pass(n, a, h3, seg3, vpos, model)
+
+
+def perplexity_pass(n: int, a, h3, seg3, vpos, model: dict) -> np.ndarray:
+    """Score from a precomputed trigram pass (shared with langid).
+
+    Stupid backoff: the bigram suffix (bytes p+1, p+2) of each trigram
+    window, hashed with the same polynomial as hashing.ngram_hashes(order=2).
+    """
     lp = np.where(
         model["seen3"][h3],
         model["lp3"][h3],
-        np.log(ALPHA) + model["lp2s"][_suffix_bigram_hash(buf, starts, h3, seg3)],
+        np.log(ALPHA) + model["lp2s"][_suffix_hash(a, vpos)],
     )
     total = hashing.segment_sum(lp, seg3, n)
     cnt = np.bincount(seg3, minlength=n).astype(np.float64)
@@ -68,24 +75,9 @@ def perplexity(texts, model: dict) -> np.ndarray:
     return np.where(cnt < 1.0, PPL_EMPTY, ppl)
 
 
-def _suffix_bigram_hash(buf, starts, h3, seg3):
-    """Bigram-bucket hash of the last two bytes of each valid trigram window.
-
-    Recomputes the same polynomial hash as hashing.ngram_hashes(order=2) at
-    the trigram window's suffix position, vectorized.
-    """
-    n = int(buf.size)
-    if h3.size == 0:
+def _suffix_hash(a, vpos):
+    if vpos.size == 0:
         return np.empty(0, dtype=np.int64)
-    # positions of valid trigram windows: reconstruct from seg boundaries.
-    # hashing.ngram_hashes masked invalid windows, so we must recompute the
-    # valid positions identically here.
-    m = n - ORDER + 1
-    pos = np.arange(m, dtype=np.int64)
-    seg = np.searchsorted(starts, pos, side="right") - 1
-    valid = pos + ORDER <= starts[seg + 1]
-    vpos = pos[valid]
-    a = buf.astype(np.int64)
     h = a[vpos + 1] * 31 + a[vpos + 2]
     h = (h * 2654435761) & 0xFFFFFFFF
     return (h >> 7) & (hashing.N_BUCKETS - 1)

@@ -35,6 +35,35 @@ FEATURE_NAMES = (
 )
 
 
+def dup_flag_column(df: DataFrame, strategy: str = "broadcast"):
+    """(df', dup_count_col) marking duplicated (conv_id, turn_idx) keys.
+
+    strategy='broadcast' (default, the 100 TB path): aggregate a 2-column
+    projection — the shuffle carries only (conv_id, turn_idx), never text —
+    then broadcast-join the (rare) duplicated keys back. Falls back to
+    strategy='window' (full-row shuffle) when duplicate keys are expected to
+    be a large fraction of the input and would not fit in a broadcast.
+    """
+    if strategy == "window":
+        return df, F.count(F.lit(1)).over(
+            Window.partitionBy("conv_id", "turn_idx"))
+    dup_keys = (
+        df.groupBy("conv_id", "turn_idx")
+        .agg(F.count(F.lit(1)).alias("_dup_count"))
+        .filter(F.col("_dup_count") > 1)
+        .select(F.col("conv_id").alias("_dk_conv"),
+                F.col("turn_idx").alias("_dk_idx"), "_dup_count")
+    )
+    # null-safe keys: the window/DuckDB/oracle twins group NULL keys together
+    joined = df.join(
+        F.broadcast(dup_keys),
+        F.col("conv_id").eqNullSafe(F.col("_dk_conv"))
+        & F.col("turn_idx").eqNullSafe(F.col("_dk_idx")),
+        "left",
+    )
+    return joined, F.coalesce(F.col("_dup_count"), F.lit(1))
+
+
 def label_turns(
     df: DataFrame,
     cfg: RuleSet = DEFAULT_RULESET,
@@ -42,6 +71,7 @@ def label_turns(
     with_models: bool = True,
     bc_models=None,
     keep_features: bool = False,
+    dup_strategy: str = "broadcast",
 ) -> DataFrame:
     """Add keep/drop_reasons/text_scrubbed (+ lang/lang_conf/ppl) columns.
 
@@ -49,19 +79,24 @@ def label_turns(
     SQL-expressible — used by the DuckDB correctness oracle).
     """
     text = F.col("text")
+    in_cols = df.columns
 
-    # duplicate (conv_id, turn_idx) detection — composite key, skew-free
-    dup_count = F.count(F.lit(1)).over(
-        Window.partitionBy("conv_id", "turn_idx")
-    )
+    out, dup_count = dup_flag_column(df, dup_strategy)
 
-    feats = rules.feature_columns(text)
+    # materialize shared arrays + feature values ONCE per row (CollapseProject
+    # keeps multi-referenced non-cheap aliases in their own projection, so
+    # split/translate run once instead of once per consuming rule)
+    out = out.withColumns(rules.split_columns(text))
+    feat_exprs = rules.feature_columns_from(
+        text, F.col("_words"), F.col("_lines"))
+    out = out.withColumns({f"_f_{k}": v for k, v in feat_exprs.items()})
+    feats = {k: F.col(f"_f_{k}") for k in feat_exprs}
+
     cols = {c: F.col(c) for c in ("conv_id", "turn_idx", "role", "text",
                                   "tool", "ts")}
     flags = rules.validation_flags(cols, cfg, dup_count)
     flags += rules.heuristic_flags(feats, text, cfg)
 
-    out = df
     if with_models:
         if bc_models is None:
             bc_models = broadcast_models(df.sparkSession)
@@ -85,12 +120,15 @@ def label_turns(
             out.withColumn("lang", lang)
             .withColumn("lang_conf", lang_conf)
             .withColumn("ppl", ppl)
-            .drop("_scores")
         )
     if keep_features:
-        for name in FEATURE_NAMES:
-            out = out.withColumn(name, feats[name])
-    return out
+        out = out.withColumns({name: feats[name] for name in FEATURE_NAMES})
+    final_cols = in_cols + ["drop_reasons", "keep", "text_scrubbed"]
+    if with_models:
+        final_cols += ["lang", "lang_conf", "ppl"]
+    if keep_features:
+        final_cols += list(FEATURE_NAMES)
+    return out.select(*final_cols)
 
 
 def stable_order(df: DataFrame, num_partitions: int | None = None) -> DataFrame:

@@ -62,6 +62,19 @@ def test_perplexity_empty_sentinel(models):
     assert (p == ngram.PPL_EMPTY).all()
 
 
+def test_fused_scorer_bit_identical(models):
+    from data_quality_check_spark.models import scoring
+
+    texts = [s for ss in corpus.SENTENCES.values() for s in ss[:4]]
+    texts += ["", None, "ab", "@@@ ###", "zxqj" * 40, "héllo wörld"]
+    l1, c1 = langid.predict(texts, models["langid"])
+    p1 = ngram.perplexity(texts, models["lm"])
+    l2, c2, p2 = scoring.score_batch(texts, models["langid"], models["lm"])
+    assert list(l1) == list(l2)
+    assert (c1 == c2).all()
+    assert (p1 == p2).all()
+
+
 def test_models_are_broadcast_friendly():
     import pickle
 
