@@ -40,13 +40,34 @@ def _burn(n: int) -> int:
     return x
 
 
+def _stream(n: int) -> int:
+    """Memory-bandwidth-bound kernel: the scorer's dominant numpy op shape."""
+    import numpy as np
+
+    buf = np.arange(50_000_000, dtype=np.int64) & 0xFF
+    t = 0
+    for _ in range(n):
+        h = (buf[:-2] * 31 + buf[1:-1]) * 31 + buf[2:]
+        t += int(h[0])
+    return t
+
+
 def cpu_envelope(workers: int, per: int = 3_000_000) -> float:
-    """Pure-CPU ops/sec with `workers` independent processes (no Spark)."""
+    """ALU-bound ops/sec with `workers` independent processes (no Spark)."""
     with mp.Pool(workers) as p:
         t0 = time.time()
         p.map(_burn, [per] * workers * 4)
         dt = time.time() - t0
     return per * workers * 4 / dt
+
+
+def bandwidth_envelope(workers: int) -> float:
+    """Memory-bandwidth-bound passes/sec with `workers` processes."""
+    with mp.Pool(workers) as p:
+        t0 = time.time()
+        p.map(_stream, [3] * workers)
+        dt = time.time() - t0
+    return workers * 3 / dt
 
 
 def run_level(cpus: int, sf_dir: str, turns: int) -> dict:
@@ -71,8 +92,12 @@ def main() -> None:
     env_n = cpu_envelope(n)
     env_m = cpu_envelope(m)
     env_eff = (env_m / env_n) / (m / n)
+    bw_n = bandwidth_envelope(n)
+    bw_m = bandwidth_envelope(m)
+    bw_eff = (bw_m / bw_n) / (m / n)
     print(f"cpu envelope: {n}w={env_n/1e6:.0f} Mops/s  "
           f"{m}w={env_m/1e6:.0f} Mops/s  envelope_eff={env_eff:.3f}")
+    print(f"bandwidth envelope: eff={bw_eff:.3f}")
 
     results = {}
     for cpus in (n, m):
@@ -92,8 +117,9 @@ def main() -> None:
         "speedup": round(speedup, 3),
         "raw_efficiency": round(raw_eff, 3),
         "cpu_envelope_efficiency": round(env_eff, 3),
+        "bandwidth_envelope_efficiency": round(bw_eff, 3),
         "normalized_efficiency": round(min(norm_eff, 1.5), 3),
-        "pass_0.8": norm_eff >= 0.8,
+        "pass_0.8": raw_eff >= 0.8 or norm_eff >= 0.8,
     }
     print(json.dumps(summary))
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
@@ -108,9 +134,11 @@ def main() -> None:
             f"| local[{m}] | {results[m]['turns_per_sec']} | "
             f"{results[m]['value']} |\n\n"
             f"speedup {n}->{m}: **{summary['speedup']}x**; raw efficiency "
-            f"**{summary['raw_efficiency']}**; machine pure-CPU envelope at "
-            f"the same widths: {summary['cpu_envelope_efficiency']} "
-            f"(SMT + host steal); envelope-normalized efficiency "
+            f"**{summary['raw_efficiency']}**; machine envelopes at the "
+            f"same widths: ALU {summary['cpu_envelope_efficiency']}, "
+            f"memory-bandwidth "
+            f"{summary['bandwidth_envelope_efficiency']} (SMT + host "
+            f"steal); ALU-normalized efficiency "
             f"**{summary['normalized_efficiency']}** "
             f"(target >= 0.8: {'PASS' if summary['pass_0.8'] else 'FAIL'}). "
             f"Identical input bytes at both levels.\n"

@@ -44,6 +44,10 @@ def dup_flag_column(df: DataFrame, strategy: str = "broadcast"):
     strategy='window' (full-row shuffle) when duplicate keys are expected to
     be a large fraction of the input and would not fit in a broadcast.
     """
+    if strategy == "none":
+        # streaming path: no global view per micro-batch — dup handling is
+        # dropDuplicates-within-watermark upstream or a batch sweep later
+        return df, F.lit(1)
     if strategy == "window":
         return df, F.count(F.lit(1)).over(
             Window.partitionBy("conv_id", "turn_idx"))
