@@ -218,6 +218,11 @@ def _q_ann_lsh_top1(spark, sf_dir):
     return top.select("vec_id", "neighbor_id")
 
 
+def _q_ann_ivf_top1(spark, sf_dir):
+    top = similarity.ivf_topk(_emb(spark, sf_dir), k=1, nprobe=4)
+    return top.select("vec_id", "neighbor_id")
+
+
 def _q_text_tokens(spark, sf_dir):
     return textstats.token_counts(_docs(spark, sf_dir))
 
@@ -288,6 +293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q_dedup_embedding,
         "ann_top1": _q_ann_top1,
         "ann_lsh_top1": _q_ann_lsh_top1,
+        "ann_ivf_top1": _q_ann_ivf_top1,
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
         "text_fingerprint": _q_text_fingerprint,

@@ -91,6 +91,86 @@ def brute_force_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
     )
 
 
+def kmeans_np(mat: np.ndarray, k: int, iters: int = 10,
+              seed: int = 11) -> np.ndarray:
+    """Seeded mini k-means on normalized vectors (driver-side; the coarse
+    quantizer for IVF). Deterministic; cosine == dot on normalized input."""
+    rng = np.random.RandomState(seed)
+    cent = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(cent.shape[0]):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return cent
+
+
+def ivf_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
+             vec_col: str = "embedding", n_cells: int | None = None,
+             nprobe: int = 4, sample: int = 100_000) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer (trained on a driver
+    sample, broadcast), every vector posted to its own cell, every QUERY
+    probed against its `nprobe` nearest cells, exact cosine re-rank inside.
+
+    100 TB shape: the corpus never moves except keyed by cell id; work is
+    quadratic only within (cell × probe) groups; centroids are a tiny
+    broadcast. n_cells defaults to ~sqrt(N) (classic IVF sizing).
+    """
+    spark = emb.sparkSession
+    n_total = emb.count()
+    if n_cells is None:
+        n_cells = max(4, int(np.sqrt(n_total)))
+    nprobe = min(nprobe, n_cells)
+    pdf = (emb.select(vec_col).limit(sample)).toPandas()
+    mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    cent = kmeans_np(mat, n_cells)
+    bc = spark.sparkContext.broadcast(cent)
+
+    def post(batches, probes: int):
+        c = bc.value
+        for p in batches:
+            v = np.asarray(p[vec_col].tolist(), dtype=np.float64)
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            sims = vn @ c.T
+            cells = np.argsort(-sims, axis=1, kind="stable")[:, :probes]
+            frames = []
+            for j in range(probes):
+                frames.append(pd.DataFrame({
+                    id_col: p[id_col].to_numpy(),
+                    "cell": cells[:, j].astype(np.int64),
+                    vec_col: p[vec_col],
+                }))
+            yield pd.concat(frames, ignore_index=True)
+
+    schema = f"{id_col} long, cell long, {vec_col} array<float>"
+    corpus = emb.select(id_col, vec_col).mapInPandas(
+        lambda it: post(it, 1), schema=schema)
+    queries = emb.select(id_col, vec_col).mapInPandas(
+        lambda it: post(it, nprobe), schema=schema)
+    a, b = queries.alias("a"), corpus.alias("b")
+    cand = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias(id_col),
+                F.col(f"b.{id_col}").alias("neighbor_id"),
+                _cosine_col(F.col(f"a.{vec_col}").cast("array<double>"),
+                            F.col(f"b.{vec_col}").cast("array<double>"))
+                .alias("cos"))
+        .groupBy(id_col, "neighbor_id")
+        .agg(F.max("cos").alias("cos"))
+    )
+    from pyspark.sql import Window
+    w = (Window.partitionBy(id_col)
+         .orderBy(F.col("cos").desc(), F.col("neighbor_id")))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 N_TABLES = 8
 TARGET_BUCKET = 64  # expected vectors per bucket → planes = log2(n/target)
 

@@ -46,6 +46,27 @@ def test_salted_repartition_preserves_rows(spark, transcripts_tiny):
     assert n_salts > 1
 
 
+def test_skewed_conversation_spreads_under_salt(spark):
+    """SURVEY §7 step 6: one pathological 20k-turn conversation among
+    100-turn ones — salted repartition must spread it across partitions
+    while plain conv_id partitioning necessarily concentrates it."""
+    rows = [("huge", i) for i in range(20000)]
+    rows += [(f"c{j}", i) for j in range(20) for i in range(100)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int")
+
+    def partition_sizes(d):
+        return sorted(
+            d.rdd.mapPartitions(lambda it: iter([sum(1 for _ in it)]))
+            .collect(), reverse=True)
+
+    plain = partition_sizes(df.repartition(8, "conv_id"))
+    salted = partition_sizes(pipeline.salted_repartition(
+        df, buckets=8, turns_per_chunk=512, num_partitions=8))
+    assert plain[0] >= 20000            # the huge conv lands whole somewhere
+    assert salted[0] < 20000 * 0.5      # salt splits it
+    assert sum(salted) == sum(plain) == 22000
+
+
 def test_metrics_table_consistency(spark, transcripts_tiny):
     lab = pipeline.label_turns(transcripts_tiny, with_models=False)
     m = pipeline.metrics_table(lab, with_models=False, input_files=False)

@@ -63,6 +63,27 @@ def test_lsh_topk_recall(emb, np_corpus):
     assert len(got) >= 0.8 * len(expected)  # most queries get a candidate
 
 
+def test_ivf_topk_recall(emb, np_corpus):
+    ids, mat = np_corpus
+    expected = _np_top1(ids, mat)
+    got = {r["vec_id"]: r["neighbor_id"]
+           for r in similarity.ivf_topk(emb, k=1, nprobe=4).collect()}
+    hits = sum(1 for q, n in got.items() if expected.get(q) == n)
+    assert hits / len(expected) >= 0.6
+    assert len(got) == len(expected)  # every query probed >=1 nonempty cell
+
+
+def test_kmeans_deterministic():
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    mat = rng.standard_normal((200, 16))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    c1 = similarity.kmeans_np(mat, 8)
+    c2 = similarity.kmeans_np(mat, 8)
+    assert (c1 == c2).all()
+
+
 def test_pairs_above_symmetric_free(emb):
     pairs = similarity.pairs_above(emb, threshold=0.5).collect()
     for r in pairs:
