@@ -191,26 +191,17 @@ def _q_dedup_simhash(spark, sf_dir):
 
 
 def _q_dedup_embedding(spark, sf_dir):
-    return similarity.pairs_above(_emb(spark, sf_dir), threshold=0.8)
+    """Numpy-matmul exact pairs; decision-equal to the declarative
+    pairs_above() twin (pinned by tests/test_similarity.py) and to the
+    DuckDB list_cosine_similarity oracle."""
+    return similarity.pairs_above_fast(_emb(spark, sf_dir), threshold=0.8)
 
 
 def _q_ann_top1(spark, sf_dir):
-    emb = _emb(spark, sf_dir)
-    a = emb.select(F.col("vec_id"),
-                   F.col("embedding").cast("array<double>").alias("va"))
-    b = emb.select(F.col("vec_id").alias("neighbor_id"),
-                   F.col("embedding").cast("array<double>").alias("vb"))
-    from pyspark.sql import Window
-    sim = similarity._cosine_col(F.col("va"), F.col("vb"))
-    w = (Window.partitionBy("vec_id")
-         .orderBy(F.col("cos").desc(), F.col("neighbor_id")))
-    return (
-        a.join(b, F.col("vec_id") != F.col("neighbor_id"))
-        .withColumn("cos", sim)
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "neighbor_id")
-    )
+    """Exact top-1 via broadcast-corpus BLAS matmul (brute_force_topk);
+    decision-equal to the O(N^2) declarative join and the DuckDB oracle."""
+    top = similarity.brute_force_topk(_emb(spark, sf_dir), k=1)
+    return top.select("vec_id", "neighbor_id")
 
 
 def _q_ann_lsh_top1(spark, sf_dir):

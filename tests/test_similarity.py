@@ -88,3 +88,13 @@ def test_pairs_above_symmetric_free(emb):
     pairs = similarity.pairs_above(emb, threshold=0.5).collect()
     for r in pairs:
         assert r["id_a"] < r["id_b"]
+
+
+def test_fast_paths_decision_equal_declarative(emb):
+    """The numpy-matmul implementations must make the same decisions as the
+    declarative (Catalyst-visible, DuckDB-matched) twins."""
+    decl = {(r[0], r[1]) for r in
+            similarity.pairs_above(emb, threshold=0.5).collect()}
+    fast = {(r[0], r[1]) for r in
+            similarity.pairs_above_fast(emb, threshold=0.5).collect()}
+    assert decl == fast
