@@ -181,20 +181,38 @@ def ivf_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
                 }))
             yield pd.concat(frames, ignore_index=True)
 
-    schema = f"{id_col} long, cell long, {vec_col} array<float>"
+    schema = f"{id_col} long, cell long, probe int, {vec_col} array<float>"
     corpus = emb.select(id_col, vec_col).mapInPandas(
-        lambda it: post(it, 1), schema=schema)
+        lambda it: post(it, 1), schema=schema.replace(", probe int", "")) \
+        .withColumn("probe", F.lit(0))
     queries = emb.select(id_col, vec_col).mapInPandas(
-        lambda it: post(it, nprobe), schema=schema)
-    a, b = queries.alias("a"), corpus.alias("b")
+        lambda it: post(it, nprobe),
+        schema=schema.replace(", probe int", "")) \
+        .withColumn("probe", F.lit(1))
+    posts = corpus.unionByName(queries)
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Probed queries × cell members via one matmul per cell."""
+        members = pdf[pdf["probe"] == 0]
+        probes = pdf[pdf["probe"] == 1]
+        if not len(members) or not len(probes):
+            return pd.DataFrame({id_col: [], "neighbor_id": [], "cos": []})
+        mv = np.asarray(members[vec_col].tolist(), dtype=np.float64)
+        qv = np.asarray(probes[vec_col].tolist(), dtype=np.float64)
+        mv /= np.linalg.norm(mv, axis=1, keepdims=True)
+        qv /= np.linalg.norm(qv, axis=1, keepdims=True)
+        sims = qv @ mv.T
+        qids = probes[id_col].to_numpy()
+        mids = members[id_col].to_numpy()
+        iu, ju = np.nonzero(qids[:, None] != mids[None, :])
+        return pd.DataFrame({
+            id_col: qids[iu], "neighbor_id": mids[ju], "cos": sims[iu, ju],
+        })
+
     cand = (
-        a.join(b, (F.col("a.cell") == F.col("b.cell"))
-               & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias(id_col),
-                F.col(f"b.{id_col}").alias("neighbor_id"),
-                _cosine_col(F.col(f"a.{vec_col}").cast("array<double>"),
-                            F.col(f"b.{vec_col}").cast("array<double>"))
-                .alias("cos"))
+        posts.groupBy("cell")
+        .applyInPandas(score_cell,
+                       schema=f"{id_col} long, neighbor_id long, cos double")
         .groupBy(id_col, "neighbor_id")
         .agg(F.max("cos").alias("cos"))
     )
@@ -261,16 +279,26 @@ def lsh_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
         bucketize,
         schema=f"{id_col} long, table int, bucket long, {vec_col} array<float>",
     )
-    a, b = bucketed.alias("a"), bucketed.alias("b")
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        """All-pairs cosine inside one (table, bucket) group via a single
+        matmul — vectorized replacement for per-pair expression folds; the
+        group is small by construction (TARGET_BUCKET expected)."""
+        ids = pdf[id_col].to_numpy()
+        v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        sims = v @ v.T
+        iu, ju = np.nonzero(~np.eye(len(ids), dtype=bool))
+        return pd.DataFrame({
+            id_col: ids[iu],
+            "neighbor_id": ids[ju],
+            "cos": sims[iu, ju],
+        })
+
     cand = (
-        a.join(b, (F.col("a.table") == F.col("b.table"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias(id_col),
-                F.col(f"b.{id_col}").alias("neighbor_id"),
-                _cosine_col(F.col(f"a.{vec_col}").cast("array<double>"),
-                            F.col(f"b.{vec_col}").cast("array<double>"))
-                .alias("cos"))
+        bucketed.groupBy("table", "bucket")
+        .applyInPandas(score_bucket,
+                       schema=f"{id_col} long, neighbor_id long, cos double")
         .groupBy(id_col, "neighbor_id")
         .agg(F.max("cos").alias("cos"))
     )
