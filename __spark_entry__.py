@@ -182,6 +182,14 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
                         _scaled(F.col("jaccard"), 1e6).alias("jaccard_u"))
 
 
+def _q_dedup_groups(spark, sf_dir):
+    """Near-dup group resolution: connected components (iterative min-label
+    propagation) over the jaccard>=0.5 pair graph."""
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3,
+                                      threshold=0.5)
+    return dedup.resolve_groups(pairs)
+
+
 def _q_dedup_minhash(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
 
@@ -279,6 +287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_validate": _q_json_validate,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_groups": _q_dedup_groups,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
@@ -378,8 +387,7 @@ FROM documents
 GROUP BY 1 HAVING count(*) > 1
 """
 
-    dedup_ngram_jaccard = """
-WITH words AS (
+    ngram_pairs_ctes = """words AS (
   SELECT doc_id,
     list_filter(string_split_regex(lower(text), '[ \t\n\r]+'),
                 w -> w <> '') AS ws
@@ -400,14 +408,36 @@ shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
+),
+jac AS (
+  SELECT doc_a, doc_b,
+    CAST(n_shared AS DOUBLE)
+      / CAST(sa.n + sb.n - n_shared AS DOUBLE) AS jaccard
+  FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)"""
+
+    dedup_ngram_jaccard = f"""
+WITH {ngram_pairs_ctes}
 SELECT doc_a, doc_b,
-  CAST(floor(CAST(n_shared AS DOUBLE)
-       / CAST(sa.n + sb.n - n_shared AS DOUBLE) * 1e6) AS BIGINT) AS jaccard_u
-FROM shared
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(n_shared AS DOUBLE) / CAST(sa.n + sb.n - n_shared AS DOUBLE) >= 0.5
+  CAST(floor(jaccard * 1e6) AS BIGINT) AS jaccard_u
+FROM jac WHERE jaccard >= 0.5
+"""
+
+    dedup_groups = f"""
+WITH RECURSIVE {ngram_pairs_ctes},
+pr AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pr
+  UNION SELECT doc_b, doc_a FROM pr
+),
+reach(id, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.s, reach.r FROM edges e, reach WHERE e.d = reach.id
+)
+SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id
 """
 
     dedup_embedding = """
@@ -480,6 +510,7 @@ GROUP BY 1, 2
         "qf_reason_histogram": qf_reason_histogram,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_groups": dedup_groups,
         "dedup_embedding": dedup_embedding,
         "ann_top1": ann_top1,
         "text_tokens": text_tokens,

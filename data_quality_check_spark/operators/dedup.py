@@ -106,8 +106,59 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH
+# near-duplicate group resolution (connected components)
 # ---------------------------------------------------------------------------
+
+def resolve_groups(pairs: DataFrame, a_col: str = "doc_a",
+                   b_col: str = "doc_b", max_iters: int = 50) -> DataFrame:
+    """Connected components over near-duplicate pairs: every doc labeled
+    with the MIN doc id of its component (the canonical representative to
+    keep; the rest are the dedup drop set).
+
+    Iterative min-label propagation — each round every vertex takes the
+    minimum label among itself and its neighbors; converges in O(diameter)
+    rounds (≤ log N with the doubling effect of symmetric edges). Each
+    round is one groupBy shuffle keyed on vertex id; the driver only checks
+    a scalar convergence count. localCheckpoint() truncates the growing
+    lineage so round N does not replay rounds 1..N-1.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"),
+                                  F.col(a_col).alias("dst")))
+        .distinct()
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src").agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"],
+                        "left")
+            .select(
+                "id",
+                F.least(F.col("label"),
+                        F.coalesce(F.col("nmin"), F.col("label")))
+                .alias("label"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("group_id"))
 
 MINHASH_K = 32          # permutations
 LSH_BANDS = 8           # bands of 4 rows each

@@ -75,6 +75,16 @@ def test_minhash_lsh_pairs_find_near_dups(docs_df):
     assert (3, 5) not in pairs
 
 
+def test_resolve_groups_connected_components(spark):
+    # chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    # clique {10,11}, singleton edge-less nodes never appear
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["group_id"]
+           for r in dedup.resolve_groups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
 def test_simhash_properties():
     sh = dedup.simhash_np([DOCS[0][1], DOCS[0][1], DOCS[2][1], DOCS[5][1]])
     assert sh[0] == sh[1]
