@@ -75,6 +75,29 @@ def start_parquet_sink(labeled: DataFrame, output_dir: str,
     return w.start()
 
 
+def windowed_drop_counts(labeled: DataFrame, window: str = "1 hour",
+                         watermark: str = "2 hours",
+                         ts_col: str = "ts") -> DataFrame:
+    """Event-time windowed keep/drop counts with a watermark: rows later
+    than `watermark` behind the stream's max event time are dropped, and a
+    window finalizes (emits, append mode) once the watermark passes its
+    end — the streaming form of the D10 metrics report with late-data
+    semantics.
+    """
+    return (
+        labeled.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.count_if(F.col("keep")).alias("n_kept"),
+            F.count_if(~F.col("keep")).alias("n_dropped"),
+        )
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "n_turns", "n_kept", "n_dropped")
+    )
+
+
 SESSION_OUTPUT_SCHEMA = ("conv_id string, n_turns long, n_kept long, "
                          "max_turn_idx int, last_ts timestamp")
 SESSION_STATE_SCHEMA = ("n_turns long, n_kept long, max_turn_idx int, "

@@ -84,6 +84,53 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     assert got.select("conv_id", "turn_idx").distinct().count() == 10
 
 
+def test_windowed_counts_with_watermark_drops_late_data(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def rows_at(hours, n, i0=0):
+        return [
+            ("c1", i0 + i, "user", f"turn {i0 + i} with ordinary words here",
+             None, datetime(2024, 1, 1, h, 30, tzinfo=timezone.utc))
+            for i, h in enumerate(hours for _ in range(n))
+        ]
+
+    # hours 0..5, 4 rows each → max ts 05:30, watermark 2h → windows with
+    # end <= 03:30 finalize: hours 0,1,2
+    batch = [r for h in range(6) for r in rows_at(h, 4, i0=h * 4)]
+    _write_batch(spark, src, batch)
+
+    def run():
+        df = dqs.read_transcript_stream(spark, src)
+        lab = dqs.label_stream(df, with_models=False)
+        agg = dqs.windowed_drop_counts(lab, "1 hour", "2 hours")
+        q = (agg.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+
+    run()
+    got = {r["window_start"].hour: r["n_turns"]
+           for r in spark.read.parquet(out).collect()}
+    assert got == {0: 4, 1: 4, 2: 4}  # finalized windows only
+
+    # a LATE row (hour 0, far behind the 03:30 watermark) must be DROPPED:
+    # its finalized window does not re-emit and no new row appears for it
+    _write_batch(spark, src, rows_at(0, 1, i0=100))
+    # plus an on-time row at hour 7: watermark → 05:30, finalizing the
+    # windows ending at 04:00 and 05:00 (hours 3 and 4); hour 5's window
+    # ends 06:00 > 05:30 so it stays open
+    _write_batch(spark, src, rows_at(7, 1, i0=200))
+    run()
+    got2 = {r["window_start"].hour: r["n_turns"]
+            for r in spark.read.parquet(out).collect()}
+    assert got2[0] == 4          # late row did not change hour-0 count
+    assert got2[3] == 4 and got2[4] == 4
+    assert 5 not in got2 and 7 not in got2
+
+
 def test_conversation_stats_stateful(spark, tmp_path):
     src = str(tmp_path / "src")
     _write_batch(spark, src, _rows(0, 12, "cA") + _rows(0, 5, "cB"))
