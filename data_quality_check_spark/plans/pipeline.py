@@ -135,6 +135,24 @@ def label_turns(
     return out.select(*final_cols)
 
 
+def observe_labels(labeled: DataFrame, name: str = "qf"):
+    """Attach a Spark Observation to the labeled stream: keep/drop counts
+    collected DURING the job's own pass (no second action) — the in-flight
+    form of the reference's request counter (metrics.rs:17-21), complementing
+    the persisted metrics_table. Returns (df, observation); read
+    `observation.get` after an action completes."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    out = labeled.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_turns"),
+        F.count_if(F.col("keep")).alias("n_kept"),
+        F.count_if(~F.col("keep")).alias("n_dropped"),
+    )
+    return out, obs
+
+
 def stable_order(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Stable (conv_id, turn_idx) ordering: hash-partition by conv_id, sort
     within partitions. One shuffle; downstream readers see each conversation

@@ -86,6 +86,25 @@ def test_metrics_table_consistency(spark, transcripts_tiny):
         assert r["n"] == direct.get(r["reason"], 0)
 
 
+def test_observe_labels_inflight_counts(spark, transcripts_tiny):
+    lab = pipeline.label_turns(transcripts_tiny, with_models=False)
+    observed, obs = pipeline.observe_labels(lab)
+    n = observed.count()  # one action; metrics ride along
+    got = obs.get
+    assert got["n_turns"] == n
+    assert got["n_kept"] + got["n_dropped"] == n
+    direct = lab.filter("keep").count()
+    assert got["n_kept"] == direct
+
+
+def test_keep_features_columns(spark, transcripts_tiny):
+    lab = pipeline.label_turns(transcripts_tiny, with_models=False,
+                               keep_features=True)
+    assert set(pipeline.FEATURE_NAMES) <= set(lab.columns)
+    r = lab.filter("text IS NOT NULL").select("n_words", "n_chars").first()
+    assert r["n_chars"] > 0
+
+
 def test_lineage_covers_input_files(spark, tmp_path):
     src = str(tmp_path / "src")
     spark.createDataFrame(
