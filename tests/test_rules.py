@@ -32,6 +32,8 @@ TEXTS = [
     "   ",
     "word " * 2500,                              # too many words
     "12 34 56 78 90 11 22 33 44 55",             # numeric words, no alpha
+    "emoji 😀 and astral 𝔘𝔫𝔦 plus ürf",           # astral codepoints
+    "😀😀😀",
 ]
 
 FEATS = ("n_chars", "n_words", "n_lines", "mean_word_len", "max_word_len",

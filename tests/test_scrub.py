@@ -26,6 +26,7 @@ CASES = [
     "call 555-123-4567 or (555) 123-4567 or +1 555.123.4567",
     "mixed: bob@x.com at 10.1.2.3 via https://t.co/abc 123-45-6789",
     "unicode héllo wörld émail: müller@straße.de stays partial",
+    "astral mixed@x.com 😀 10.0.0.1 𝔘𝔫𝔦",
     "",
     "edge@case.c",  # TLD too short for the email pattern → untouched
     "999.999.999.999 matches the (deliberately loose) ipv4 pattern",
