@@ -144,14 +144,17 @@ def _q_qf_pipeline_full(spark, sf_dir):
 
 
 def _q_qf_metrics(spark, sf_dir):
+    """Heuristic-only metrics aggregate — fully SQL-expressible, so the
+    count/count_if rollup is DuckDB-oracled (the model-reason variant is
+    exercised by tests/test_pipeline.py and qf_pipeline_full)."""
     t = transcripts.load(spark, sf_dir)
-    lab = pipeline.label_turns(t, CFG, with_models=True,
-                               bc_models=_models(spark))
-    m = pipeline.metrics_table(lab, CFG, input_files=False)
+    lab = pipeline.label_turns(t, CFG, with_models=False)
+    m = pipeline.metrics_table(lab, CFG, with_models=False,
+                               input_files=False)
     return m.groupBy("ruleset_version").agg(
-        F.sum("n_turns").alias("n_turns"),
-        F.sum("n_kept").alias("n_kept"),
-        F.sum("n_dropped").alias("n_dropped"),
+        F.sum("n_turns").cast("long").alias("n_turns"),
+        F.sum("n_kept").cast("long").alias("n_kept"),
+        F.sum("n_dropped").cast("long").alias("n_dropped"),
     )
 
 
@@ -171,8 +174,23 @@ def _q_json_validate(spark, sf_dir):
     )
 
 
+# Exact-dup fixture: inject identical texts on a doc_id schedule so the
+# dedup_exact gate is NON-VACUOUS (>0 groups at every sf) — same shared-SQL
+# derivation discipline as sources/transcripts.py. %17 rows collapse into 3
+# identical-text groups keyed by doc_id % 3.
+DEDUP_FIXTURE_SQL = """
+SELECT doc_id,
+  CASE WHEN doc_id % 17 = 0
+       THEN 'Shared boilerplate block ' || CAST(doc_id % 3 AS STRING)
+            || ' — terms and conditions apply.'
+       ELSE text END AS text
+FROM documents
+"""
+
+
 def _q_dedup_exact(spark, sf_dir):
-    return dedup.exact_duplicates(_docs(spark, sf_dir))
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return dedup.exact_duplicates(spark.sql(DEDUP_FIXTURE_SQL))
 
 
 def _q_dedup_ngram_jaccard(spark, sf_dir):
@@ -198,11 +216,21 @@ def _q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+def _emb_fixture(spark, sf_dir):
+    """Embeddings + injected exact copies (vec_id %97 → vec_id + 1_000_000)
+    so the near-dup gate is NON-VACUOUS: each copy forms a cos=1.0 pair."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    dup = (emb.filter(F.col("vec_id") % 97 == 0)
+           .select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding"))
+    return emb.unionByName(dup)
+
+
 def _q_dedup_embedding(spark, sf_dir):
     """Numpy-matmul exact pairs; decision-equal to the declarative
     pairs_above() twin (pinned by tests/test_similarity.py) and to the
     DuckDB list_cosine_similarity oracle."""
-    return similarity.pairs_above_fast(_emb(spark, sf_dir), threshold=0.8)
+    return similarity.pairs_above_fast(_emb_fixture(spark, sf_dir),
+                                       threshold=0.8)
 
 
 def _q_ann_top1(spark, sf_dir):
@@ -370,6 +398,15 @@ SELECT conv_id, turn_idx, {scrub.scrub_sql('text')} AS text_scrubbed
 FROM d
 """
 
+    qf_metrics = f"""
+WITH {td}
+SELECT '{CFG.version}' AS ruleset_version,
+  count(*) AS n_turns,
+  count(*) FILTER (WHERE len({all_reasons}) = 0) AS n_kept,
+  count(*) FILTER (WHERE len({all_reasons}) > 0) AS n_dropped
+FROM d
+"""
+
     qf_reason_histogram = f"""
 WITH {td},
 lab AS (SELECT {all_reasons} AS rs FROM d)
@@ -381,9 +418,10 @@ GROUP BY reason
     norm = ("regexp_replace(regexp_replace(lower(text), '[ \t\n\r]+', ' ',"
             " 'g'), '^ | $', '', 'g')")
     dedup_exact = f"""
+WITH fx AS ({DEDUP_FIXTURE_SQL})
 SELECT md5({norm}) AS fingerprint,
   count(*) AS n_docs, min(doc_id) AS representative
-FROM documents
+FROM fx
 GROUP BY 1 HAVING count(*) > 1
 """
 
@@ -441,8 +479,14 @@ SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id
 """
 
     dedup_embedding = """
+WITH fx AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 97 = 0
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM fx a JOIN fx b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       >= 0.8
 """
@@ -493,7 +537,7 @@ SELECT doc_id, md5({norm}) AS fingerprint FROM documents
 SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
   event_type,
   count(*) AS n,
-  sum(CAST(floor(value * 1000) AS BIGINT)) AS sum_value_k,
+  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_k,
   count(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY 1, 2
@@ -508,6 +552,7 @@ GROUP BY 1, 2
         "qf_features": qf_features,
         "qf_scrub": qf_scrub,
         "qf_reason_histogram": qf_reason_histogram,
+        "qf_metrics": qf_metrics,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_groups": dedup_groups,
@@ -518,6 +563,6 @@ GROUP BY 1, 2
         "text_fingerprint": text_fingerprint,
         "events_window": events_window,
         # rows-only (model scores / own-hash signatures not SQL-expressible):
-        # qf_pipeline_full, qf_metrics, dedup_minhash_lsh, dedup_simhash,
-        # ann_lsh_top1, text_langid, multimodal_features
+        # qf_pipeline_full, dedup_minhash_lsh, dedup_simhash,
+        # ann_lsh_top1, ann_ivf_top1, text_langid, multimodal_features
     }
