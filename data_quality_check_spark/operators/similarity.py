@@ -1,19 +1,20 @@
 """Similarity search over an embedding column (array<float>).
 
-Two paths, per the scale plan:
-  * brute_force_topk — exact: broadcast one side as a dense numpy matrix,
-    stream the other side through mapInPandas, compute cosine via one BLAS
-    matmul per Arrow batch. Correct baseline; O(N·M) — use when one side
-    fits in executor memory (the usual "query set vs corpus" shape).
-  * lsh_topk — approximate: random-hyperplane LSH buckets both sides, joins
-    within buckets only (shuffle keyed on (table, bucket)); multi-probe via
-    several independent hash tables. The 100 TB path: shuffle volume is
-    O(N·tables), never O(N·M).
-  * pairs_above — exact near-duplicate pairs by cosine ≥ threshold via the
-    declarative zip_with/aggregate form (JVM-side, Catalyst-visible; used
-    by the DuckDB-checked gate query).
+Paths, per the scale plan:
+  * brute_force_topk / pairs_above_fast — exact: DISTRIBUTED block matmul.
+    Rows are packed into blocks (one shuffle), block pairs join, one BLAS
+    matmul per pair. No driver collect anywhere; each task holds two
+    blocks. Exact is inherently O(N²/block) work — the correctness
+    baseline, not the scale default.
+  * lsh_topk / ivf_topk — approximate, the 100 TB path: random-hyperplane
+    buckets / k-means cells key the shuffle; work is quadratic only within
+    buckets; shuffle volume is O(N·tables), never O(N·M).
+  * pairs_above — exact pairs via the declarative zip_with/aggregate form
+    (JVM-side, Catalyst-visible; the order-matched DuckDB twin).
 
-All randomness is seeded; hyperplanes are broadcast numpy arrays.
+All randomness is seeded; hyperplanes/centroids are broadcast numpy arrays.
+Zero-norm embeddings are guarded everywhere (cos := 0.0, never NaN — NaN
+compares greater than any double in Spark/DuckDB SQL).
 """
 
 from __future__ import annotations
@@ -50,79 +51,149 @@ def pairs_above(emb: DataFrame, threshold: float = 0.95,
     )
 
 
-def pairs_above_fast(emb: DataFrame, threshold: float = 0.95,
-                     id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
-    """Exact near-duplicate pairs (cosine ≥ threshold, id_a < id_b) via one
-    BLAS matmul per Arrow batch against the broadcast corpus matrix —
-    the vectorized twin of pairs_above() (same decisions; ~10x faster).
-    Use when one side fits in executor memory; at 100 TB scale the corpus
-    side is the IVF/LSH-bucketed candidate set, not the full table."""
-    spark = emb.sparkSession
-    pdf = emb.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+BLOCK_ROWS = 4096
+
+
+def _block_agg(emb: DataFrame, id_col: str, vec_col: str,
+               block_rows: int) -> tuple[DataFrame, int]:
+    """Pack the table into ceil(N/block_rows) block rows of
+    array<struct<id,vec>> — the unit of the distributed block matmul.
+    One groupBy shuffle; each block row is bounded (~block_rows·dim·8 B)."""
+    n = emb.count()
+    n_blocks = max(1, -(-n // block_rows))
+    rows = emb.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+        .cast("int").alias("blk"),
+        F.struct(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        ).alias("item"),
+    )
+    agg = rows.groupBy("blk").agg(F.collect_list("item").alias("items"))
+    return agg, n_blocks
+
+
+def _grid_keys(spark, n_blocks: int, *, triangular: bool) -> DataFrame:
+    """(blk_a, blk_b) int pairs — full grid or upper triangle. Generated
+    distributedly (spark.range × spark.range): only ints are nested-loop
+    joined, never the packed vector blocks."""
+    ra = spark.range(n_blocks).select(F.col("id").cast("int").alias("blk_a"))
+    rb = spark.range(n_blocks).select(F.col("id").cast("int").alias("blk_b"))
+    keys = ra.crossJoin(rb)
+    return keys.filter("blk_a <= blk_b") if triangular else keys
+
+
+def _norm_rows(mat: np.ndarray) -> np.ndarray:
+    """Row-normalize with the zero-norm guard (zero vector → cos 0.0)."""
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    order = np.argsort(ids, kind="stable")
-    bc = spark.sparkContext.broadcast((ids[order], (mat / norms)[order]))
+    norms[norms == 0.0] = 1.0
+    return mat / norms
 
-    def run(batches):
-        corpus_ids, corpus = bc.value
+
+def _unpack(items) -> tuple[np.ndarray, np.ndarray]:
+    """array<struct> block → (ids, L2-normalized float64 matrix). Zero-norm
+    vectors get norm 1 so their cosine vs anything is 0.0, never NaN (NaN
+    compares greater than any double in Spark/DuckDB SQL — a silent
+    false-include; 0.0 is always below a positive threshold)."""
+    ids = np.fromiter((d["id"] for d in items), dtype=np.int64,
+                      count=len(items))
+    mat = np.asarray([d["vec"] for d in items], dtype=np.float64)
+    return ids, _norm_rows(mat)
+
+
+def pairs_above_fast(emb: DataFrame, threshold: float = 0.95,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     block_rows: int = BLOCK_ROWS) -> DataFrame:
+    """Exact near-duplicate pairs (cosine ≥ threshold, id_a < id_b) via a
+    distributed BLOCK matmul — the vectorized twin of pairs_above() (same
+    float64 dot products, same decisions; ~10x faster).
+
+    Plan: pack rows into B = ceil(N/block_rows) blocks (one shuffle), join
+    the upper triangle of block pairs (B(B+1)/2 rows), one BLAS matmul per
+    block pair. NO driver collect anywhere — each task holds exactly two
+    blocks (~2·block_rows·dim·8 B). Exact is inherently O(N²/block); the
+    100 TB scale path is the LSH/IVF-bucketed candidate set."""
+    agg, n_blocks = _block_agg(emb, id_col, vec_col, block_rows)
+    a = agg.select(F.col("blk").alias("blk_a"), F.col("items").alias("items_a"))
+    b = agg.select(F.col("blk").alias("blk_b"), F.col("items").alias("items_b"))
+    # join the HEAVY block rows by equi-key against a tiny int-pair grid —
+    # a `blk_a <= blk_b` theta-join would BroadcastNestedLoopJoin the whole
+    # packed corpus; this way only B² ints are nested-loop joined
+    keys = _grid_keys(emb.sparkSession, n_blocks, triangular=True)
+    grid = keys.join(a, "blk_a").join(b, "blk_b")
+
+    def scan(batches):
         for p in batches:
-            q = np.asarray(p[vec_col].tolist(), dtype=np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ corpus.T
-            qids = p[id_col].to_numpy()
-            hit_q, hit_c = np.nonzero(
-                (sims >= threshold) & (qids[:, None] < corpus_ids[None, :]))
-            yield pd.DataFrame({
-                "id_a": qids[hit_q],
-                "id_b": corpus_ids[hit_c],
-            })
+            out_a, out_b = [np.empty(0, np.int64)], [np.empty(0, np.int64)]
+            for items_a, items_b, same in zip(
+                    p["items_a"], p["items_b"],
+                    (p["blk_a"] == p["blk_b"]).to_numpy()):
+                ia, ma = _unpack(items_a)
+                ib, mb = (ia, ma) if same else _unpack(items_b)
+                sims = ma @ mb.T
+                if same:
+                    hi, hj = np.nonzero((sims >= threshold)
+                                        & (ia[:, None] < ib[None, :]))
+                    out_a.append(ia[hi])
+                    out_b.append(ib[hj])
+                else:
+                    # cross-block: every unordered pair appears exactly once
+                    # in the blk_a <= blk_b grid — normalize to (min, max)
+                    hi, hj = np.nonzero(sims >= threshold)
+                    out_a.append(np.minimum(ia[hi], ib[hj]))
+                    out_b.append(np.maximum(ia[hi], ib[hj]))
+            yield pd.DataFrame({"id_a": np.concatenate(out_a),
+                                "id_b": np.concatenate(out_b)})
 
-    return emb.select(id_col, vec_col).mapInPandas(
-        run, schema="id_a long, id_b long")
+    return grid.mapInPandas(scan, schema="id_a long, id_b long")
 
 
 def brute_force_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     block_rows: int = BLOCK_ROWS) -> DataFrame:
     """Exact top-k cosine neighbors for every vector, excluding self.
 
-    The corpus matrix is collected once on the driver (float64, normalized),
-    broadcast, and each Arrow batch of queries does ONE matmul against it.
-    Ties break on smaller neighbor id (deterministic).
+    Distributed block matmul: query blocks × corpus blocks (B² grid rows),
+    per-pair local top-k, then a segmented merge (window over the query id,
+    N·B·k rows). NO driver collect; ties break on smaller neighbor id under
+    the same (cos desc, id asc) total order locally and globally, so the
+    merge of per-block top-ks is exactly the global top-k.
     """
-    spark = emb.sparkSession
-    pdf = emb.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    order = np.argsort(ids, kind="stable")
-    bc = spark.sparkContext.broadcast((ids[order], mat[order]))
+    from pyspark.sql import Window
 
-    def topk(batches):
-        corpus_ids, corpus = bc.value
+    agg, n_blocks = _block_agg(emb, id_col, vec_col, block_rows)
+    q = agg.select(F.col("blk").alias("blk_a"), F.col("items").alias("q_items"))
+    c = agg.select(F.col("blk").alias("blk_b"), F.col("items").alias("c_items"))
+    keys = _grid_keys(emb.sparkSession, n_blocks, triangular=False)
+    grid = keys.join(q, "blk_a").join(c, "blk_b")
+
+    def local_topk(batches):
         for p in batches:
-            q = np.asarray(p[vec_col].tolist(), dtype=np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ corpus.T  # [batch, corpus]
-            qids = p[id_col].to_numpy()
-            self_mask = qids[:, None] == corpus_ids[None, :]
-            sims[self_mask] = -np.inf
-            # deterministic: sort by (-sim, corpus_id)
-            idx = np.lexsort((np.broadcast_to(corpus_ids, sims.shape),
-                              -sims), axis=-1)[:, :k]
-            rows = {
-                id_col: np.repeat(qids, k),
-                "neighbor_id": corpus_ids[idx].ravel(),
-                "cos": np.take_along_axis(sims, idx, axis=1).ravel(),
-                "rank": np.tile(np.arange(1, k + 1), len(qids)),
-            }
-            yield pd.DataFrame(rows)
+            frames = []
+            for q_items, c_items in zip(p["q_items"], p["c_items"]):
+                qi, qm = _unpack(q_items)
+                ci, cm = _unpack(c_items)
+                sims = qm @ cm.T
+                sims[qi[:, None] == ci[None, :]] = -np.inf
+                kk = min(k, sims.shape[1])
+                idx = np.lexsort((np.broadcast_to(ci, sims.shape), -sims),
+                                 axis=-1)[:, :kk]
+                cos = np.take_along_axis(sims, idx, axis=1).ravel()
+                keep = np.isfinite(cos)  # drop self-only fillers
+                frames.append(pd.DataFrame({
+                    id_col: np.repeat(qi, kk)[keep],
+                    "neighbor_id": ci[idx].ravel()[keep],
+                    "cos": cos[keep],
+                }))
+            yield pd.concat(frames, ignore_index=True) if frames else \
+                pd.DataFrame({id_col: [], "neighbor_id": [], "cos": []})
 
-    return emb.select(id_col, vec_col).mapInPandas(
-        topk, schema=f"{id_col} long, neighbor_id long, cos double, rank int"
-    )
+    part = grid.mapInPandas(
+        local_topk, schema=f"{id_col} long, neighbor_id long, cos double")
+    w = (Window.partitionBy(id_col)
+         .orderBy(F.col("cos").desc(), F.col("neighbor_id")))
+    return (part.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
 
 
 def kmeans_np(mat: np.ndarray, k: int, iters: int = 10,
@@ -159,9 +230,16 @@ def ivf_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
     if n_cells is None:
         n_cells = max(4, int(np.sqrt(n_total)))
     nprobe = min(nprobe, n_cells)
-    pdf = (emb.select(vec_col).limit(sample)).toPandas()
-    mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    # deterministic sample: order by a hash of the id, not bare limit()
+    # (limit without ordering varies with partition layout → the quantizer,
+    # hence cell assignments and neighbors, would differ run to run).
+    # The hash also de-correlates the sample from ingest order; rows are
+    # then re-sorted by id so the training matrix itself is canonical.
+    pdf = (emb.select(id_col, vec_col)
+           .withColumn("_h", F.xxhash64(F.col(id_col)))
+           .orderBy("_h").limit(sample)
+           .orderBy(id_col).select(vec_col)).toPandas()
+    mat = _norm_rows(np.asarray(pdf[vec_col].tolist(), dtype=np.float64))
     cent = kmeans_np(mat, n_cells)
     bc = spark.sparkContext.broadcast(cent)
 
@@ -169,7 +247,7 @@ def ivf_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
         c = bc.value
         for p in batches:
             v = np.asarray(p[vec_col].tolist(), dtype=np.float64)
-            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            vn = _norm_rows(v)
             sims = vn @ c.T
             cells = np.argsort(-sims, axis=1, kind="stable")[:, :probes]
             frames = []
@@ -199,8 +277,8 @@ def ivf_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
             return pd.DataFrame({id_col: [], "neighbor_id": [], "cos": []})
         mv = np.asarray(members[vec_col].tolist(), dtype=np.float64)
         qv = np.asarray(probes[vec_col].tolist(), dtype=np.float64)
-        mv /= np.linalg.norm(mv, axis=1, keepdims=True)
-        qv /= np.linalg.norm(qv, axis=1, keepdims=True)
+        mv = _norm_rows(mv)
+        qv = _norm_rows(qv)
         sims = qv @ mv.T
         qids = probes[id_col].to_numpy()
         mids = members[id_col].to_numpy()
@@ -286,7 +364,7 @@ def lsh_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
         group is small by construction (TARGET_BUCKET expected)."""
         ids = pdf[id_col].to_numpy()
         v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        v = _norm_rows(v)
         sims = v @ v.T
         iu, ju = np.nonzero(~np.eye(len(ids), dtype=bool))
         return pd.DataFrame({

@@ -1,0 +1,91 @@
+"""Physical-plan assertions: the shapes we rely on at 100 TB.
+
+These tests pin the PLAN, not the values: column pruning reaches the
+parquet scan, the duplicate-key detector broadcast-joins instead of
+window-shuffling full rows, and the exact similarity paths are distributed
+block matmuls with no full-table driver collect.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import inspect
+import io
+
+import pytest
+
+from data_quality_check_spark.operators import similarity
+from data_quality_check_spark.plans import pipeline
+from data_quality_check_spark.sources import transcripts
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_transcript_scan_prunes_columns(spark):
+    """The transcript derivation touches only (doc_id, text) — the parquet
+    scan must read exactly those two columns (documents has 5)."""
+    plan = plan_str(transcripts.load(spark, SF))
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_dup_flag_uses_broadcast_join(spark, transcripts_tiny):
+    """Default dup strategy: 2-column aggregate + broadcast join back —
+    never a full-row window shuffle of the text column."""
+    lab = pipeline.label_turns(transcripts_tiny, with_models=False)
+    plan = plan_str(lab)
+    assert "BroadcastHashJoin" in plan
+    # the only hash-exchange feeding the dup aggregate carries the composite
+    # key, not the text column
+    assert "Window" not in plan
+
+
+def test_dup_agg_shuffle_is_two_columns(spark, transcripts_tiny):
+    """The duplicate-key aggregate projects (conv_id, turn_idx) only before
+    its exchange, so shuffled bytes are keys + counts, never text."""
+    lab = pipeline.label_turns(transcripts_tiny, with_models=False)
+    plan = plan_str(lab, "extended")
+    # physical HashAggregate for dup keys groups on exactly the 2 keys
+    assert "hashpartitioning(conv_id" in plan
+
+
+@pytest.mark.parametrize("fn", [
+    similarity.pairs_above_fast,
+    similarity.brute_force_topk,
+    similarity._block_agg,
+])
+def test_similarity_exact_paths_have_no_driver_collect(fn):
+    """The exact gate paths must never collect the corpus to the driver
+    (VERDICT r01: driver OOM at 100×). Blocked matmul only."""
+    src = inspect.getsource(fn)
+    assert "toPandas" not in src
+    assert ".collect()" not in src
+
+
+@pytest.mark.parametrize("make_df", [
+    lambda emb: similarity.pairs_above_fast(emb, threshold=0.8),
+    lambda emb: similarity.brute_force_topk(emb, k=1),
+], ids=["pairs_above_fast", "brute_force_topk"])
+def test_exact_similarity_plans_are_blocked(spark, make_df):
+    """Blocks are built by a collect_list aggregate and consumed by a
+    distributed Python map; the HEAVY block rows reach the matmul only via
+    equi-joins — any nested-loop/cartesian node may touch the int grid
+    (spark.range legs), never the packed vectors."""
+    import re
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_str(make_df(emb))
+    assert "collect_list" in plan
+    assert "MapInPandas" in plan
+    assert plan.count("Range") >= 2  # the grid legs are spark.range scans
+    # any theta-join condition must reference only the int grid keys —
+    # the packed vector blocks join via equi-key BroadcastHashJoin/SMJ
+    for cond in re.findall(r"Join condition: (.+)", plan):
+        if cond.strip() != "None":
+            assert re.fullmatch(r"\(blk_a#\d+ <= blk_b#\d+\)", cond.strip())
