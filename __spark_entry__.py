@@ -193,18 +193,26 @@ def _q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(spark.sql(DEDUP_FIXTURE_SQL))
 
 
+# Hot-shingle document-frequency cap used by the gate queries — mirrored in
+# the DuckDB oracle CTEs so both engines compute Jaccard over the same
+# capped shingle sets (see ngram_jaccard_pairs docstring).
+NGRAM_MAX_SHINGLE_DF = 100
+
+
 def _q_dedup_ngram_jaccard(spark, sf_dir):
     pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3,
-                                      threshold=0.5)
+                                      threshold=0.5,
+                                      max_shingle_df=NGRAM_MAX_SHINGLE_DF)
     return pairs.select("doc_a", "doc_b",
                         _scaled(F.col("jaccard"), 1e6).alias("jaccard_u"))
 
 
 def _q_dedup_groups(spark, sf_dir):
-    """Near-dup group resolution: connected components (iterative min-label
-    propagation) over the jaccard>=0.5 pair graph."""
+    """Near-dup group resolution: connected components (min-label
+    propagation + pointer jumping) over the jaccard>=0.5 pair graph."""
     pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3,
-                                      threshold=0.5)
+                                      threshold=0.5,
+                                      max_shingle_df=NGRAM_MAX_SHINGLE_DF)
     return dedup.resolve_groups(pairs)
 
 
@@ -431,7 +439,7 @@ GROUP BY 1 HAVING count(*) > 1
                 w -> w <> '') AS ws
   FROM documents
 ),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM (
     SELECT doc_id,
       CASE WHEN len(ws) >= 3 THEN
@@ -441,6 +449,9 @@ sh AS (
     FROM words
   )
 ),
+hot AS (SELECT shingle FROM sh0 GROUP BY shingle
+        HAVING count(*) > {max_df}),
+sh AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (shingle)),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
@@ -454,7 +465,7 @@ jac AS (
   FROM shared
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b
-)"""
+)""".format(max_df=NGRAM_MAX_SHINGLE_DF)
 
     dedup_ngram_jaccard = f"""
 WITH {ngram_pairs_ctes}

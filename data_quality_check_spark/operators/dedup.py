@@ -6,11 +6,13 @@ large-scale training-data pipeline stack, each designed for the 100 TB path:
   * exact:   one hash-groupBy shuffle on a fingerprint column (map-side
              partial agg, no text movement — only the 32-char digest).
   * jaccard: shingle-explode → co-shingle join → pair agg. Exact but
-    quadratic in bucket size; the scale path is MinHash below.
+    quadratic in posting-list size; the hot-shingle df-cap bounds the join
+    against boilerplate, and the scale path is MinHash below.
   * minhash: signatures via ONE vectorized pandas UDF pass (numpy segment
     mins over a concatenated byte buffer — no per-row Python), then LSH
-    banding: explode k_bands rows per doc, groupBy(band, band_hash) —
-    shuffle carries only (doc_id, 8-byte band hash), never the text.
+    banding: explode `bands` rows per doc — the exchange carries only
+    (doc_id, band, 8-byte band hash), never the signature or the text;
+    signatures join back on candidate pairs only.
   * simhash: 32-bit signature from the same hashing pass; near-dup pairs via
     4-byte band exact-match (hamming ≤ r by pigeonhole).
 
@@ -59,13 +61,23 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        max_shingle_df: int | None = None) -> DataFrame:
     """Exact Jaccard over word n-gram shingle SETS via co-shingle join.
 
     Plan: shingle-explode (narrow) → distinct (shuffle on (doc, shingle)) →
     self-join on shingle → pair-level agg. Broadcast is NOT used: both sides
     are the full corpus; at scale this operator is the verification stage
     behind MinHash candidates, not a full-corpus sweep.
+
+    `max_shingle_df`: hot-shingle guard. A single corpus-wide boilerplate
+    shingle (a repeated header) makes the co-shingle self-join quadratic in
+    that posting list — one shingle shared by 10^6 docs is 10^12 join rows.
+    With a cap, shingles whose document frequency exceeds it are dropped
+    BEFORE the join (anti-join against the small hot set), and Jaccard is
+    computed over the capped shingle sets in BOTH engines (the DuckDB
+    oracle mirrors the cap), trading exactness on boilerplate-only overlap
+    for a bounded join. None = exact (no cap).
     """
     words = F.filter(F.split(F.lower(F.col("text")), "[ \t\n\r]+"),
                      lambda w: w != F.lit(""))
@@ -78,6 +90,12 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
         docs.select("doc_id", F.explode(shingles).alias("shingle"))
         .distinct()
     )
+    if max_shingle_df is not None:
+        hot = (sh.groupBy("shingle")
+               .agg(F.count(F.lit(1)).alias("df"))
+               .filter(F.col("df") > max_shingle_df)
+               .select("shingle"))
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -115,12 +133,18 @@ def resolve_groups(pairs: DataFrame, a_col: str = "doc_a",
     with the MIN doc id of its component (the canonical representative to
     keep; the rest are the dedup drop set).
 
-    Iterative min-label propagation — each round every vertex takes the
-    minimum label among itself and its neighbors; converges in O(diameter)
-    rounds (≤ log N with the doubling effect of symmetric edges). Each
-    round is one groupBy shuffle keyed on vertex id; the driver only checks
-    a scalar convergence count. localCheckpoint() truncates the growing
-    lineage so round N does not replay rounds 1..N-1.
+    Min-label propagation WITH pointer jumping: each round every vertex
+    takes the minimum of (its label, its neighbors' labels, its LABEL'S
+    label). The label-of-label hop halves remaining path lengths each
+    round — O(log diameter) rounds, not O(diameter) (plain neighbor-min
+    needs one round per hop on a chain). Each round is two shuffles keyed
+    on vertex id; the driver only checks a scalar convergence count.
+    localCheckpoint() truncates the growing lineage so round N does not
+    replay rounds 1..N-1.
+
+    Raises RuntimeError if max_iters rounds pass without convergence
+    (silent non-canonical labels would diverge from the recursive-CTE
+    oracle); with jumping, 50 rounds cover diameters up to ~2^50.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -133,19 +157,27 @@ def resolve_groups(pairs: DataFrame, a_col: str = "doc_a",
         .distinct()
         .withColumn("label", F.col("id"))
     ).localCheckpoint()
+    changed = None
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src").agg(F.min("label").alias("nmin"))
         )
+        # pointer jump: the current label is itself a vertex id — look up
+        # ITS label (grandparent) and take the min of all three
+        parents = labels.select(F.col("id").alias("pid"),
+                                F.col("label").alias("plabel"))
         new_labels = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"],
-                        "left")
+            labels
+            .join(parents, labels["label"] == parents["pid"], "left")
+            .join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
             .select(
                 "id",
-                F.least(F.col("label"),
-                        F.coalesce(F.col("nmin"), F.col("label")))
-                .alias("label"),
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("plabel"), F.col("label")),
+                    F.coalesce(F.col("nmin"), F.col("label")),
+                ).alias("label"),
             )
         ).localCheckpoint()
         changed = (
@@ -157,6 +189,11 @@ def resolve_groups(pairs: DataFrame, a_col: str = "doc_a",
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"resolve_groups did not converge in {max_iters} rounds "
+            f"({changed} labels still changing) — labels would be "
+            f"non-canonical; raise max_iters")
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("group_id"))
 
@@ -204,7 +241,7 @@ def _band_hash(sig_slice: np.ndarray) -> np.ndarray:
     return h
 
 
-_SIG_SCHEMA = "doc_id long, band int, band_hash long, sig array<long>"
+_SIG_SCHEMA = "doc_id long, sig array<long>, band_hashes array<long>"
 
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.7,
@@ -212,49 +249,63 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.7,
     """Candidate near-dup pairs via MinHash banding, scored by signature
     agreement (estimated Jaccard), filtered at `threshold`.
 
-    Shuffle volume per doc: `bands` rows of (doc_id, band, band_hash, sig)
-    — the text never shuffles. Equal band-hash → candidate; pair appears
-    once per colliding band → dedup with groupBy max.
+    Shuffle discipline (the 100 TB shape):
+      1. ONE Python pass computes (doc_id, sig, band_hashes) — one row per
+         doc, persisted (it is consumed twice).
+      2. The banding join shuffles ONLY (doc_id, band, band_hash) — 20 B
+         per band row; the 32-long signature never rides the band explode
+         (r01 shipped 256 longs/doc through this exchange).
+      3. The signature table joins back on the (rare) CANDIDATE pairs only
+         to count agreeing components.
+    The text never shuffles anywhere.
     """
     rows_per_band = k // bands
 
-    def explode_bands(batches):
+    def compute(batches):
         for pdf in batches:
             sig = minhash_signatures_np(pdf["text"].tolist(), k)
-            ids = pdf["doc_id"].to_numpy()
-            out = []
-            for bi in range(bands):
-                bh = _band_hash(sig[:, bi * rows_per_band:(bi + 1) * rows_per_band])
-                out.append(pd.DataFrame({
-                    "doc_id": ids,
-                    "band": np.full(len(ids), bi, dtype=np.int32),
-                    "band_hash": bh,
-                    "sig": list(sig),
-                }))
-            yield pd.concat(out, ignore_index=True)
+            bh = np.stack([
+                _band_hash(sig[:, bi * rows_per_band:(bi + 1) * rows_per_band])
+                for bi in range(bands)
+            ], axis=1)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "sig": list(sig),
+                "band_hashes": list(bh),
+            })
 
     sig_df = docs.select("doc_id", "text").mapInPandas(
-        explode_bands, schema=_SIG_SCHEMA
+        compute, schema=_SIG_SCHEMA
+    ).persist()
+
+    bands_df = sig_df.select(
+        "doc_id",
+        F.posexplode("band_hashes").alias("band", "band_hash"),
     )
-    a = sig_df.alias("a")
-    b = sig_df.alias("b")
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.band_hash") == F.col("b.band_hash"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig_df.select(F.col("doc_id").alias("doc_a"),
+                       F.col("sig").alias("sig_a"))
+    sb = sig_df.select(F.col("doc_id").alias("doc_b"),
+                       F.col("sig").alias("sig_b"))
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.aggregate(
-                F.zip_with("a.sig", "b.sig",
+            "doc_a", "doc_b",
+            (F.aggregate(
+                F.zip_with("sig_a", "sig_b",
                            lambda x, y: (x == y).cast("int")),
                 F.lit(0), lambda acc, v: acc + v,
-            ).cast("double").alias("n_agree"),
+            ).cast("double") / k).alias("est_jaccard"),
         )
-    )
-    return (
-        cand.groupBy("doc_a", "doc_b")
-        .agg((F.max("n_agree") / k).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
 

@@ -98,3 +98,40 @@ def test_simhash_pairs(docs_df):
              dedup.simhash_pairs(docs_df, max_hamming=3).collect()}
     assert pairs[(3, 4)] == 0
     assert (0, 5) not in pairs
+
+
+def test_hot_shingle_cap_drops_boilerplate_pairs(spark):
+    """A corpus-wide boilerplate line shared by every doc must not create
+    pairs (or a quadratic join) once the df-cap drops it; genuine overlap
+    beyond the boilerplate still pairs."""
+    boiler = "click here to subscribe now for more"
+    rows = [(i, f"{boiler} unique body {i} with words {i * 7}")
+            for i in range(20)]
+    rows.append((100, "the quick brown fox jumps over the lazy dog today"))
+    rows.append((101, "the quick brown fox jumps over the lazy dog today"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5,
+                                       max_shingle_df=5).collect()}
+    # boilerplate-only overlap is gone; the real duplicate pair survives
+    assert pairs == {(100, 101)}
+    # uncapped, the boilerplate shingles pair every (i, j) combination
+    uncapped = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.3).collect()
+    assert len(uncapped) > 100
+
+
+def test_resolve_groups_chain_converges_logarithmically(spark):
+    """Pointer jumping: a 64-long chain (diameter 63) must converge well
+    within 10 rounds (plain neighbor-min needs ~63)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["group_id"]
+           for r in dedup.resolve_groups(pairs, max_iters=10).collect()}
+    assert got == {i: 0 for i in range(65)}
+
+
+def test_resolve_groups_raises_on_exhaustion(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(32)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.resolve_groups(pairs, max_iters=2)

@@ -89,3 +89,31 @@ def test_exact_similarity_plans_are_blocked(spark, make_df):
     for cond in re.findall(r"Join condition: (.+)", plan):
         if cond.strip() != "None":
             assert re.fullmatch(r"\(blk_a#\d+ <= blk_b#\d+\)", cond.strip())
+
+
+def test_minhash_band_exchange_excludes_signature(spark):
+    """The LSH banding exchange must carry only (doc_id, band, band_hash) —
+    the 32-long signature joins back on candidate pairs only (r01 shipped
+    256 longs/doc through this shuffle)."""
+    import re
+
+    from data_quality_check_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # force the band self-join to SHUFFLE (at test scale it broadcasts) so
+    # the exchange contents are visible in the plan
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_str(dedup.minhash_lsh_pairs(docs, threshold=0.5))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    band_exchanges = [
+        blk for blk in re.split(r"\(\d+\) ", plan)
+        if blk.startswith("Exchange") and "hashpartitioning(band" in blk
+    ]
+    assert band_exchanges, "expected a band-keyed exchange in the plan"
+    for blk in band_exchanges:
+        inputs = blk.split("Arguments:")[0]
+        assert re.search(r"\bsig#", inputs) is None
+        assert "band_hash" in inputs
