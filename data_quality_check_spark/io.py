@@ -23,6 +23,7 @@ driver re-runs only un-committed chunks.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import uuid
@@ -102,6 +103,7 @@ def run_job(
     files_per_chunk: int = 16,
     output_partitions: int | None = None,
     fail_after_chunks: int | None = None,
+    fail_before_commit: int | None = None,
 ) -> JobReport:
     """Run (or resume) the labeling job over `input_path`.
 
@@ -110,13 +112,20 @@ def run_job(
       output_dir/metrics/chunk=<id>/ per-partition lineage + metrics rows
       output_dir/_manifest/<id>.json committed-chunk manifest (atomic)
 
-    `fail_after_chunks` is test-only fault injection: raise after N chunk
-    commits to exercise resume.
+    Exactly-once across EVERY crash window: the chunk_id is derived from
+    the chunk's sorted input-file list, so a crash BETWEEN the parquet
+    writes and the manifest commit leaves an orphan directory that the
+    re-run overwrites (same id, mode=overwrite) — and read_output()/
+    read_metrics() read only manifest-committed chunk dirs anyway, so an
+    orphan is never visible to readers even before the re-run.
+
+    `fail_after_chunks` / `fail_before_commit` are test-only fault
+    injection: raise after N chunk commits, or after the Nth chunk's data
+    writes but BEFORE its manifest commit, to exercise both resume windows.
     """
     files = list_input_files(spark, input_path)
     done = processed_files(output_dir)
     todo = [f for f in files if f not in done]
-    seq0 = len(read_manifest(output_dir))
     if with_models and bc_models is None and todo:
         from .functions.udfs import broadcast_models
         bc_models = broadcast_models(spark)
@@ -125,8 +134,8 @@ def run_job(
               for i in range(0, len(todo), files_per_chunk)]
     ran = 0
     processed: list[str] = []
-    for k, chunk in enumerate(chunks):
-        chunk_id = f"{seq0 + k:06d}-{uuid.uuid4().hex[:8]}"
+    for chunk in chunks:
+        chunk_id = hashlib.sha256("\n".join(chunk).encode()).hexdigest()[:16]
         df = spark.read.parquet(*chunk)
         labeled = pipeline.label_turns(
             df, cfg, with_models=with_models, bc_models=bc_models)
@@ -137,6 +146,9 @@ def run_job(
             labeled, cfg, with_models=with_models)
         metrics.write.mode("overwrite").parquet(
             os.path.join(output_dir, "metrics", f"chunk={chunk_id}"))
+        if fail_before_commit is not None and ran + 1 >= fail_before_commit:
+            raise RuntimeError(
+                f"injected failure before manifest commit of chunk {ran + 1}")
         _commit_manifest(output_dir, {
             "chunk_id": chunk_id,
             "input_files": chunk,
@@ -213,9 +225,22 @@ def run_job_iceberg(
         ).writeTo(checkpoint_table).append()
 
 
+def _read_committed(spark: SparkSession, output_dir: str,
+                    sub: str) -> DataFrame:
+    """Read ONLY manifest-committed chunk directories — orphan dirs from a
+    crash between data write and manifest commit are invisible (the
+    snapshot-isolation read path; Iceberg gives this for free)."""
+    ids = [e["chunk_id"] for e in read_manifest(output_dir)]
+    base = os.path.join(output_dir, sub)
+    if not ids:
+        raise FileNotFoundError(f"no committed chunks under {output_dir}")
+    paths = [os.path.join(base, f"chunk={i}") for i in ids]
+    return spark.read.option("basePath", base).parquet(*paths)
+
+
 def read_output(spark: SparkSession, output_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(output_dir, "turns"))
+    return _read_committed(spark, output_dir, "turns")
 
 
 def read_metrics(spark: SparkSession, output_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(output_dir, "metrics"))
+    return _read_committed(spark, output_dir, "metrics")

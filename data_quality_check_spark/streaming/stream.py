@@ -48,12 +48,16 @@ def label_stream(
     """Streaming labeling: same rule/scrub/model plan as batch.
 
     dedup='drop': exact duplicates of (conv_id, turn_idx) within the event-
-    time watermark are dropped (first wins — stateful, bounded memory).
+    time watermark are dropped (first wins — stateful, bounded memory:
+    dropDuplicatesWithinWatermark evicts each key's state once the
+    watermark passes its event time; plain dropDuplicates on a subset
+    WITHOUT the event-time column never evicts, so its state grows
+    unboundedly).
     dedup='none': duplicates pass through unflagged (batch sweep later).
     """
     if dedup == "drop":
         df = (df.withWatermark("ts", watermark)
-              .dropDuplicates(["conv_id", "turn_idx"]))
+              .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"]))
     return pipeline.label_turns(
         df, cfg, with_models=with_models, bc_models=bc_models,
         dup_strategy="none",

@@ -77,3 +77,35 @@ def test_metrics_match_output(spark, tmp_path, src):
     n_kept = m.agg(F.sum("n_kept")).first()[0]
     assert n_kept == (dq_io.read_output(spark, out)
                       .filter("keep").count())
+
+
+def test_resume_after_crash_before_manifest_commit(spark, tmp_path, src):
+    """The hard crash window: data parquet written, manifest NOT committed.
+    The orphan chunk dir must be invisible to readers and must be
+    overwritten (not duplicated) by the re-run."""
+    out = str(tmp_path / "out")
+    with pytest.raises(RuntimeError, match="before manifest commit"):
+        dq_io.run_job(spark, src, out, with_models=False,
+                      files_per_chunk=2, fail_before_commit=2)
+    # one chunk committed, one orphaned on disk
+    assert len(dq_io.read_manifest(out)) == 1
+    import os
+    assert len(os.listdir(os.path.join(out, "turns"))) == 2
+    # readers see only the committed chunk
+    assert len(_keys(spark, out)) == 50  # 1 chunk × 2 files × 25 rows
+
+    report = dq_io.run_job(spark, src, out, with_models=False,
+                           files_per_chunk=2)
+    assert report.chunks_skipped == 2  # only the COMMITTED chunk's files
+    keys = [(r["conv_id"], r["turn_idx"], r["text"])
+            for r in _keys(spark, out)]
+    assert len(keys) == 200
+    assert len(set(keys)) == 200  # orphan overwritten, not double-counted
+    # metrics lineage also exactly-once
+    files_in = set(dq_io.list_input_files(spark, src))
+    metric_files = {
+        dq_io.normalize_file_uri(r[0])
+        for r in dq_io.read_metrics(spark, out)
+        .select("input_file").distinct().collect()
+    }
+    assert metric_files == files_in
