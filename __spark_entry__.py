@@ -160,12 +160,15 @@ def _q_qf_metrics(spark, sf_dir):
 
 def _q_json_validate(spark, sf_dir):
     """Raw-JSON ingest validation (reference D1-D6): parse, unescape,
-    unknown-field rejection, type dispatch, field equality."""
+    unknown-field rejection, the FULL type-dispatch matrix (int-range,
+    long, double, bool, bytes-base64, enum, nested struct), field
+    equality. The oracle is GENERATED from the same FieldSpec tree."""
     from data_quality_check_spark.sources import jsonl
 
     _docs(spark, sf_dir).createOrReplaceTempView("documents")
     raw = spark.sql(jsonl.fixture_sql("spark"))
-    v = jsonl.validate_json_records(raw, "raw", required_field="role",
+    v = jsonl.validate_json_records(raw, "raw", spec=jsonl.EXTENDED_SPEC,
+                                    required_field="role",
                                     required_value="user")
     return v.select(
         "doc_id",

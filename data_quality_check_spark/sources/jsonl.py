@@ -6,44 +6,107 @@ Maps, operator by operator (SURVEY §2.1):
      → try-parse via from_json null-check → reason 'malformed'
   D2 JSON unescape (double-encoded) (json_validation.rs:151-163)
      → when(starts/ends with '"', from_json(col, 'string'))
-  D3 schema conformance + UNKNOWN-FIELD REJECTION (dynamic-message/src/
-     lib.rs:11-258, unknown key check at 249-251)
-     → from_json(col, schema) type dispatch + json_object_keys ⊆ schema set
+  D3 schema conformance + UNKNOWN-FIELD REJECTION over the FULL type
+     matrix (dynamic-message/src/lib.rs:22-247 dispatches double/float,
+     i32, i64, u32 range-checked, u64, bool, string, bytes-base64, enum
+     name→number, nested message recursion; unknown keys at 249-251)
+     → spec-driven arms: numeric/bool kinds use from_json PERMISSIVE
+       null-detection; string/bytes/enum/struct kinds use the VARIANT type
+       inspector (schema_of_variant ≙ DuckDB json_type); structs recurse.
   D4 round-trip serialization (lib.rs:261-282)
      → to_json(struct) — defaults materialized by the struct itself
   D5 field presence + equality   (json_validation.rs:165-194)
-     → require_field() predicate with distinct missing/mismatch reasons
+     → require_field() on ANY JSON scalar (string / int / bool), with
+       distinct missing/mismatch reasons; the reference's field_check
+       value is Option<JsonValue>, not just a string
   D6 orchestration               (json_validation.rs:17-149)
      → validate_json_records(): ONE narrow select chain
 
 All native expressions — the whole validation is a single Spark stage.
-Type-mismatch semantics follow the reference: a field whose JSON type cannot
-populate the declared type fails the record (Spark: from_json in PERMISSIVE
-mode nulls the field while the raw key remains — detected by comparing
-parsed-null vs raw-key-present).
+The DuckDB oracle twin (validation_oracle_sql) is GENERATED from the same
+FieldSpec tree, arm by arm, so Spark and the oracle cannot drift.
+
+Engine-parity notes (probed, pinned by tests/test_jsonl.py):
+  * Spark from_json PERMISSIVE nulls a leaf whose JSON type cannot
+    populate the declared type; int is range-checked (2147483648 → null),
+    matching the reference's u32 range check (lib.rs:74-86). DuckDB twin:
+    explicit json_type allow-lists + TRY_CAST range guards.
+  * schema_of_variant(try_variant_get(...)) names map 1:1 onto DuckDB
+    json_type for the string family: STRING↔VARCHAR, OBJECT<..>↔OBJECT.
+  * JSON null is tolerated like a missing field (reference iterates
+    present keys only, lib.rs:18-19) — except for required-field equality,
+    where null ≠ the required value.
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
-from ..schema import TRANSCRIPT_SCHEMA
+# shared Spark/DuckDB/RE2-safe base64 alphabet check (explicit classes,
+# no \d/\w, no lookaround — CLAUDE.md regex subset)
+B64_RE = "^([A-Za-z0-9+/]{4})*([A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    """One declared field — the analog of one descriptor-pool field entry
+    (protobuf_descriptors.rs builds these from .proto; here they are
+    explicit). kind ∈ string|int|long|double|bool|bytes|enum|struct."""
+
+    name: str
+    kind: str = "string"
+    enum_vocab: tuple[str, ...] = ()
+    fields: tuple["FieldSpec", ...] = ()
+
 
 # JSON-carried transcript fields (ts arrives as epoch seconds, like the
 # parquet fixture derivation)
-JSON_SCHEMA = T.StructType([
-    T.StructField("conv_id", T.StringType()),
-    T.StructField("turn_idx", T.IntegerType()),
-    T.StructField("role", T.StringType()),
-    T.StructField("text", T.StringType()),
-    T.StructField("tool", T.StringType()),
-    T.StructField("ts_epoch", T.LongType()),
-])
+TRANSCRIPT_SPEC: tuple[FieldSpec, ...] = (
+    FieldSpec("conv_id", "string"),
+    FieldSpec("turn_idx", "int"),
+    FieldSpec("role", "string"),
+    FieldSpec("text", "string"),
+    FieldSpec("tool", "string"),
+    FieldSpec("ts_epoch", "long"),
+)
 
-_FIELDS = tuple(f.name for f in JSON_SCHEMA.fields)
-# fields whose declared type a JSON string value cannot populate
-_NON_STRING_FIELDS = ("turn_idx", "ts_epoch")
+# Full-matrix spec exercising every dispatch arm of the reference
+# (dynamic-message/src/lib.rs:22-247): double, bool, bytes(base64), enum,
+# and one nested message with its own string/long children.
+EXTENDED_SPEC: tuple[FieldSpec, ...] = TRANSCRIPT_SPEC + (
+    FieldSpec("score", "double"),
+    FieldSpec("flag", "bool"),
+    FieldSpec("blob", "bytes"),
+    FieldSpec("kind", "enum", enum_vocab=("chat", "task", "note")),
+    FieldSpec("meta", "struct", fields=(
+        FieldSpec("lang", "string"),
+        FieldSpec("v", "long"),
+    )),
+)
+
+_SPARK_TYPES = {
+    "string": T.StringType(), "int": T.IntegerType(),
+    "long": T.LongType(), "double": T.DoubleType(),
+    "bool": T.BooleanType(), "bytes": T.StringType(),
+    "enum": T.StringType(),
+}
+
+
+def build_struct(spec: tuple[FieldSpec, ...]) -> T.StructType:
+    out = []
+    for f in spec:
+        if f.kind == "struct":
+            out.append(T.StructField(f.name, build_struct(f.fields)))
+        else:
+            out.append(T.StructField(f.name, _SPARK_TYPES[f.kind]))
+    return T.StructType(out)
+
+
+JSON_SCHEMA = build_struct(TRANSCRIPT_SPEC)
+_FIELDS = tuple(f.name for f in TRANSCRIPT_SPEC)
 
 
 def unescape(col: Column) -> Column:
@@ -58,81 +121,147 @@ def unescape(col: Column) -> Column:
     return F.when(looks_escaped & inner.isNotNull(), inner).otherwise(col)
 
 
+# canonical violation order (deterministic output, comparable byte-for-byte)
+REASON_ORDER = ("malformed", "unknown_field", "type_mismatch",
+                "enum_mismatch", "missing_field", "field_mismatch")
+
+
+def _vtype(var_col: str, path: str) -> Column:
+    """Per-row JSON type of the value at `path` — Spark's analog of DuckDB
+    json_type (STRING / BIGINT / DECIMAL / DOUBLE / BOOLEAN / VOID /
+    OBJECT<..> / ARRAY<..>), via the VARIANT inspector over a variant
+    column parsed ONCE per record."""
+    return F.expr(
+        f"schema_of_variant(try_variant_get({var_col}, '{path}'))")
+
+
+def _not_false(c: Column) -> Column:
+    return F.coalesce(c, F.lit(False))
+
+
+def _spark_arms(spec, src_col: str, parsed: Column, path: str,
+                keys: Column, var_col: str = "_var",
+                ) -> dict[str, list[Column]]:
+    """Per-kind mismatch conditions for one struct level (recursive)."""
+    arms: dict[str, list[Column]] = {
+        "type_mismatch": [], "enum_mismatch": [], "unknown_field": []}
+    names = [f.name for f in spec]
+    arms["unknown_field"].append(
+        _not_false(F.exists(keys, lambda k: ~k.isin(*names))))
+    for f in spec:
+        p = f"{path}.{f.name}"
+        raw_val = F.get_json_object(F.col(src_col), p)
+        has_val = (_not_false(F.arrays_overlap(keys, F.array(F.lit(f.name))))
+                   & raw_val.isNotNull())
+        leaf = parsed[f.name]
+        if f.kind in ("int", "long", "double", "bool"):
+            # PERMISSIVE from_json nulls an unpopulatable leaf; int is
+            # range-checked by the parser itself (u32 analog)
+            arms["type_mismatch"].append(has_val & leaf.isNull())
+        elif f.kind == "string":
+            arms["type_mismatch"].append(
+                has_val & (_vtype(var_col, p) != "STRING"))
+        elif f.kind == "bytes":
+            arms["type_mismatch"].append(
+                has_val & ((_vtype(var_col, p) != "STRING")
+                           | ~leaf.rlike(B64_RE)))
+        elif f.kind == "enum":
+            arms["enum_mismatch"].append(
+                has_val & ((_vtype(var_col, p) != "STRING")
+                           | ~leaf.isin(*f.enum_vocab)))
+        elif f.kind == "struct":
+            is_obj = _vtype(var_col, p).startswith("OBJECT")
+            arms["type_mismatch"].append(has_val & ~is_obj)
+            child_keys = F.json_object_keys(raw_val)
+            sub = _spark_arms(f.fields, src_col, leaf, p, child_keys,
+                              var_col)
+            for k, cs in sub.items():
+                arms[k].extend(_not_false(has_val & is_obj & c) for c in cs)
+        else:
+            raise ValueError(f"unknown kind {f.kind!r}")
+    return arms
+
+
+def _render_required(value) -> tuple[str, tuple[str, ...]]:
+    """(raw-text rendering, allowed Spark variant types) for a typed
+    required_value — D5 takes any JSON scalar (json_validation.rs:165-194)."""
+    if isinstance(value, bool):
+        return ("true" if value else "false"), ("BOOLEAN",)
+    if isinstance(value, int):
+        return str(value), ("BIGINT",)
+    if isinstance(value, str):
+        return value, ("STRING",)
+    raise TypeError(f"required_value must be str/int/bool, got {value!r}")
+
+
 def validate_json_records(
     df: DataFrame,
     json_col: str = "raw",
     *,
+    spec: tuple[FieldSpec, ...] = TRANSCRIPT_SPEC,
     json_escaped: bool = True,
     required_field: str | None = None,
-    required_value: str | None = None,
+    required_value=None,
 ) -> DataFrame:
     """D6: parse → conformance-check → round-trip each JSON record.
 
-    Adds columns: `valid` (bool), `violations` (array<string> in canonical
-    order: malformed, not_object, unknown_field, type_mismatch,
-    missing_field, field_mismatch), `roundtrip` (canonical JSON, D4),
-    plus the parsed transcript columns.
+    Adds columns: `valid` (bool), `violations` (array<string> in
+    REASON_ORDER), `roundtrip` (canonical JSON, D4), plus the parsed
+    top-level columns. Every arm is a native expression (one stage).
     """
     raw = F.col(json_col)
     src = unescape(raw) if json_escaped else raw
+    out = df.withColumn("_src", src)
 
-    parsed = F.from_json(src, JSON_SCHEMA)  # PERMISSIVE: bad fields → null
-    # D1: well-formedness + top-level-must-be-object (lib.rs:253-255).
-    # from_json returns non-null struct only for valid JSON objects; a JSON
-    # array/scalar or garbage yields null.
-    obj_keys = F.json_object_keys(src)
-    is_object = obj_keys.isNotNull()
-    malformed = src.isNull() | ~is_object
+    parsed = F.from_json(F.col("_src"), build_struct(spec))
+    out = out.withColumn("_parsed", parsed)
+    out = out.withColumn("_var", F.expr("try_parse_json(_src)"))
+    # D1: well-formedness + top-level-must-be-object (lib.rs:253-255) —
+    # json_object_keys yields non-null only for a JSON object
+    obj_keys = F.json_object_keys(F.col("_src"))
+    malformed = F.col("_src").isNull() | obj_keys.isNull()
 
-    # D3a: unknown-field rejection (lib.rs:249-251) — any key outside the
-    # schema fails the record
-    unknown = F.exists(obj_keys, lambda k: ~k.isin(*_FIELDS))
+    arms = _spark_arms(spec, "_src", F.col("_parsed"), "$", obj_keys)
 
-    # D3b: type dispatch — a present key whose parsed value is null means the
-    # JSON type could not populate the declared type (lib.rs:22-221 arms).
-    # JSON null literals are tolerated like the reference tolerates missing
-    # fields (get_json_object returns null for JSON null).
-    def _mismatch(name: str) -> Column:
-        key_present = F.arrays_overlap(obj_keys, F.array(F.lit(name)))
-        raw_val = F.get_json_object(src, f"$.{name}")
-        return key_present & raw_val.isNotNull() & parsed[name].isNull()
-
-    type_mismatch = F.lit(False)
-    for name in _NON_STRING_FIELDS:
-        type_mismatch = type_mismatch | _mismatch(name)
+    def any_of(cs):
+        cond = F.lit(False)
+        for c in cs:
+            cond = cond | _not_false(c)
+        return cond
 
     flags = [
         ("malformed", malformed),
-        ("unknown_field", ~malformed & unknown),
-        ("type_mismatch", ~malformed & type_mismatch),
+        ("unknown_field", ~malformed & any_of(arms["unknown_field"])),
+        ("type_mismatch", ~malformed & any_of(arms["type_mismatch"])),
+        ("enum_mismatch", ~malformed & any_of(arms["enum_mismatch"])),
     ]
-    # D5: optional field presence + equality with distinct reasons
+    # D5: optional field presence + TYPED equality with distinct reasons
     # (json_validation.rs:173-183 mismatch, 184-188 missing)
     if required_field is not None:
-        present = ~malformed & F.arrays_overlap(
-            obj_keys, F.array(F.lit(required_field)))
-        value = F.get_json_object(src, f"$.{required_field}")
+        present = ~malformed & _not_false(F.arrays_overlap(
+            obj_keys, F.array(F.lit(required_field))))
         flags.append(("missing_field", ~malformed & ~present))
         if required_value is not None:
-            flags.append((
-                "field_mismatch",
-                present & ~value.eqNullSafe(F.lit(required_value)),
-            ))
+            text, vtypes = _render_required(required_value)
+            rv = F.get_json_object(F.col("_src"), f"$.{required_field}")
+            vt = _vtype("_var", f"$.{required_field}")
+            ok = vt.isin(*vtypes) & rv.eqNullSafe(F.lit(text))
+            flags.append(("field_mismatch", present & ~_not_false(ok)))
 
     violations = F.filter(
         F.array(*[F.when(cond, F.lit(name)) for name, cond in flags]),
         lambda x: x.isNotNull(),
     )
     valid = F.size(violations) == 0
-    # D4: round-trip — canonical serialization of the populated record
-    roundtrip = F.when(valid, F.to_json(parsed))
-
-    out = df.withColumn("violations", violations)
+    out = out.withColumn("violations", violations)
     out = out.withColumn("valid", valid)
-    out = out.withColumn("roundtrip", roundtrip)
-    for name in _FIELDS:
-        out = out.withColumn(name, F.when(~malformed, parsed[name]))
-    return out
+    # D4: round-trip — canonical serialization of the populated record
+    out = out.withColumn("roundtrip",
+                         F.when(valid, F.to_json(F.col("_parsed"))))
+    for f in spec:
+        out = out.withColumn(
+            f.name, F.when(~malformed, F.col("_parsed")[f.name]))
+    return out.drop("_src", "_parsed", "_var")
 
 
 def to_transcript(validated: DataFrame) -> DataFrame:
@@ -147,76 +276,84 @@ def to_transcript(validated: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# deterministic raw-JSON fixture (gate twin of sources/transcripts.py)
+# DuckDB oracle twin — GENERATED from the same FieldSpec tree
 # ---------------------------------------------------------------------------
 
-def fixture_sql(dialect: str) -> str:
-    """SELECT doc_id, raw — JSON records derived from `documents` by doc_id
-    arithmetic, with injected anomalies covering every validation reason
-    (the JSON analog of the reference fixture
-    /root/reference/data/input/test/example.json):
-
-      %11 → malformed (closing brace dropped)   %13 → unknown key "bogus"
-      %17 → turn_idx as string (type mismatch)  %19 → double-encoded payload
-      %23 → role key missing
-
-    Built with plain string concatenation so Spark SQL and DuckDB produce
-    byte-identical records. `dialect` ∈ {'spark', 'duckdb'}.
-    """
-    if dialect == "spark":
-        cast, esc = "STRING", r"'\\\"'"
-    else:
-        cast, esc = "VARCHAR", "'\\\"'"
-    did = f"CAST(doc_id AS {cast})"
-    role = ("CASE WHEN doc_id % 4 = 0 THEN 'user' "
-            "WHEN doc_id % 4 = 1 THEN 'assistant' "
-            "WHEN doc_id % 4 = 2 THEN 'system' ELSE 'tool' END")
-    j0 = (
-        f"'{{\"conv_id\":\"c' || CAST(doc_id % 7 AS {cast}) || '\",' || "
-        f"'\"turn_idx\":' || CASE WHEN doc_id % 17 = 0 THEN '\"x9\"' "
-        f"ELSE {did} END || ',' || "
-        f"CASE WHEN doc_id % 23 = 0 THEN '' "
-        f"ELSE '\"role\":\"' || {role} || '\",' END || "
-        f"'\"text\":\"t' || {did} || '\",' || "
-        f"CASE WHEN doc_id % 13 = 0 THEN '\"bogus\":1,' ELSE '' END || "
-        f"'\"ts_epoch\":' || CAST(1700000000 + doc_id AS {cast}) || '}}'"
-    )
-    return f"""
-    SELECT doc_id,
-      CASE
-        WHEN doc_id % 11 = 0 THEN substr(j0, 1, length(j0) - 1)
-        WHEN doc_id % 19 = 0 THEN '"' || replace(j0, '"', {esc}) || '"'
-        ELSE j0
-      END AS raw
-    FROM (SELECT doc_id, {j0} AS j0 FROM documents)
-    """
+def _duck_arms(spec, path: str = "$") -> dict[str, list[str]]:
+    """DuckDB SQL conditions mirroring _spark_arms arm by arm. `s` is the
+    sanitized JSON column. json_type ↔ schema_of_variant, TRY_CAST range
+    guards ↔ from_json's parser ranges."""
+    arms: dict[str, list[str]] = {
+        "type_mismatch": [], "enum_mismatch": [], "unknown_field": []}
+    names = ", ".join(f"'{f.name}'" for f in spec)
+    keys = f"json_keys(s, '{path}')"
+    arms["unknown_field"].append(
+        f"coalesce(len(list_filter({keys}, k -> k NOT IN ({names}))) > 0,"
+        f" FALSE)")
+    for f in spec:
+        p = f"{path}.{f.name}"
+        jt = f"json_type(s, '{p}')"
+        txt = f"json_extract_string(s, '{p}')"
+        has = (f"(coalesce(list_contains({keys}, '{f.name}'), FALSE)"
+               f" AND {jt} IS NOT NULL AND {jt} <> 'NULL')")
+        if f.kind == "int":
+            bad = (f"NOT ({jt} IN ('BIGINT','UBIGINT') AND TRY_CAST({txt} "
+                   f"AS BIGINT) BETWEEN -2147483648 AND 2147483647)")
+            arms["type_mismatch"].append(f"({has} AND {bad})")
+        elif f.kind == "long":
+            bad = (f"NOT ({jt} IN ('BIGINT','UBIGINT') AND TRY_CAST({txt} "
+                   f"AS BIGINT) IS NOT NULL)")
+            arms["type_mismatch"].append(f"({has} AND {bad})")
+        elif f.kind == "double":
+            arms["type_mismatch"].append(
+                f"({has} AND {jt} NOT IN ('DOUBLE','BIGINT','UBIGINT'))")
+        elif f.kind == "bool":
+            arms["type_mismatch"].append(f"({has} AND {jt} <> 'BOOLEAN')")
+        elif f.kind == "string":
+            arms["type_mismatch"].append(f"({has} AND {jt} <> 'VARCHAR')")
+        elif f.kind == "bytes":
+            arms["type_mismatch"].append(
+                f"({has} AND NOT ({jt} = 'VARCHAR' AND "
+                f"regexp_full_match({txt}, '{B64_RE}')))")
+        elif f.kind == "enum":
+            vocab = ", ".join(f"'{v}'" for v in f.enum_vocab)
+            arms["enum_mismatch"].append(
+                f"({has} AND NOT ({jt} = 'VARCHAR' AND {txt} IN ({vocab})))")
+        elif f.kind == "struct":
+            arms["type_mismatch"].append(f"({has} AND {jt} <> 'OBJECT')")
+            sub = _duck_arms(f.fields, p)
+            guard = f"({has} AND {jt} = 'OBJECT')"
+            for k, cs in sub.items():
+                arms[k].extend(f"coalesce({guard} AND {c}, FALSE)"
+                               for c in cs)
+    return arms
 
 
 def validation_oracle_sql(required_field: str = "role",
-                          required_value: str = "user") -> str:
+                          required_value="user",
+                          spec: tuple[FieldSpec, ...] = EXTENDED_SPEC) -> str:
     """DuckDB twin of validate_json_records() over fixture_sql('duckdb')."""
-    fields = ", ".join(f"'{f}'" for f in _FIELDS)
+    arms = _duck_arms(spec)
+    unknown = " OR ".join(arms["unknown_field"])
+    mismatch = " OR ".join(arms["type_mismatch"]) or "FALSE"
+    enum_bad = " OR ".join(arms["enum_mismatch"]) or "FALSE"
+    text, vtypes = _render_required(required_value)
+    duck_types = {"STRING": "('VARCHAR')", "BIGINT": "('BIGINT','UBIGINT')",
+                  "BOOLEAN": "('BOOLEAN')"}[vtypes[0]]
+    rf = required_field
     # `safe` shields json_type/json_extract from malformed payloads (DuckDB
-    # evaluates CASE branches vectorized, so guards alone don't protect)
-    unescape = """
-      CASE WHEN raw LIKE '"%"' AND json_valid(raw)
-                AND json_type(safe::JSON) = 'VARCHAR'
-           THEN json_extract_string(safe, '$')
-      ELSE raw END"""
-    mismatch = " OR ".join(
-        f"(list_contains(json_keys(s), '{f}')"
-        f" AND json_type(s, '$.{f}') IS NOT NULL"
-        f" AND json_type(s, '$.{f}') NOT IN ('UBIGINT', 'BIGINT', 'NULL'))"
-        for f in _NON_STRING_FIELDS
-    )
-    # DuckDB's vectorized CASE evaluates both branches, so malformed rows
-    # must be replaced by '{}' BEFORE any json_keys/json_type call
+    # evaluates CASE branches vectorized, so guards alone don't protect);
+    # malformed rows are replaced by '{}' BEFORE any json_keys/json_type call
     return f"""
 WITH fixture AS ({fixture_sql('duckdb')}),
 fx AS (SELECT doc_id, raw,
        CASE WHEN json_valid(raw) THEN raw ELSE '""' END AS safe
        FROM fixture),
-un AS (SELECT doc_id, {unescape} AS s FROM fx),
+un AS (SELECT doc_id,
+      CASE WHEN raw LIKE '"%"' AND json_valid(raw)
+                AND json_type(safe::JSON) = 'VARCHAR'
+           THEN json_extract_string(safe, '$')
+      ELSE raw END AS s FROM fx),
 flagged AS (
   SELECT doc_id,
     pre_malformed OR json_type(s::JSON) <> 'OBJECT' AS malformed,
@@ -229,14 +366,16 @@ reasons AS (
   SELECT doc_id,
     list_filter([
       CASE WHEN malformed THEN 'malformed' END,
-      CASE WHEN NOT malformed AND len(list_filter(json_keys(s),
-        k -> k NOT IN ({fields}))) > 0 THEN 'unknown_field' END,
+      CASE WHEN NOT malformed AND ({unknown}) THEN 'unknown_field' END,
       CASE WHEN NOT malformed AND ({mismatch}) THEN 'type_mismatch' END,
-      CASE WHEN NOT malformed AND NOT list_contains(json_keys(s),
-        '{required_field}') THEN 'missing_field' END,
-      CASE WHEN NOT malformed AND list_contains(json_keys(s),
-        '{required_field}') AND (json_extract_string(s,
-        '$.{required_field}') IS DISTINCT FROM '{required_value}')
+      CASE WHEN NOT malformed AND ({enum_bad}) THEN 'enum_mismatch' END,
+      CASE WHEN NOT malformed AND NOT coalesce(
+        list_contains(json_keys(s), '{rf}'), FALSE)
+        THEN 'missing_field' END,
+      CASE WHEN NOT malformed AND coalesce(
+        list_contains(json_keys(s), '{rf}'), FALSE) AND NOT coalesce(
+        json_type(s, '$.{rf}') IN {duck_types}
+        AND json_extract_string(s, '$.{rf}') = '{text}', FALSE)
         THEN 'field_mismatch' END
     ], x -> x IS NOT NULL) AS violations
   FROM flagged
@@ -246,6 +385,74 @@ SELECT doc_id,
   len(violations) = 0 AS valid
 FROM reasons
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic raw-JSON fixture (gate twin of sources/transcripts.py)
+# ---------------------------------------------------------------------------
+
+def fixture_sql(dialect: str) -> str:
+    """SELECT doc_id, raw — JSON records derived from `documents` by doc_id
+    arithmetic, with injected anomalies covering EVERY dispatch arm of the
+    reference's type matrix (the JSON analog of
+    /root/reference/data/input/test/example.json):
+
+      %11 → malformed (closing brace dropped)   %13 → unknown key "bogus"
+      %17 → turn_idx as string (type mismatch)  %19 → double-encoded payload
+      %23 → role key missing                    %29 → flag as string (bool)
+      %31 → score as string (double)            %37 → blob invalid base64
+      %41 → kind outside enum vocab             %43 → meta unknown child key
+      %47 → meta.lang as number (nested type)   %53 → meta as scalar
+      %59 → turn_idx above i32 range (u32-style range check)
+
+    Built with plain string concatenation so Spark SQL and DuckDB produce
+    byte-identical records. `dialect` ∈ {'spark', 'duckdb'}.
+    """
+    if dialect == "spark":
+        cast, esc = "STRING", r"'\\\"'"
+    else:
+        cast, esc = "VARCHAR", "'\\\"'"
+    did = f"CAST(doc_id AS {cast})"
+    role = ("CASE WHEN doc_id % 4 = 0 THEN 'user' "
+            "WHEN doc_id % 4 = 1 THEN 'assistant' "
+            "WHEN doc_id % 4 = 2 THEN 'system' ELSE 'tool' END")
+    kind = ("CASE WHEN doc_id % 41 = 0 THEN 'alien' "
+            "WHEN doc_id % 3 = 0 THEN 'chat' "
+            "WHEN doc_id % 3 = 1 THEN 'task' ELSE 'note' END")
+    meta = (
+        "CASE WHEN doc_id % 53 = 0 THEN '7' "
+        "WHEN doc_id % 47 = 0 THEN '{\"lang\":5,\"v\":1}' "
+        "WHEN doc_id % 43 = 0 THEN '{\"lang\":\"en\",\"surprise\":1}' "
+        f"ELSE '{{\"lang\":\"en\",\"v\":' || {did} || '}}' END"
+    )
+    j0 = (
+        f"'{{\"conv_id\":\"c' || CAST(doc_id % 7 AS {cast}) || '\",' || "
+        f"'\"turn_idx\":' || CASE WHEN doc_id % 17 = 0 THEN '\"x9\"' "
+        f"WHEN doc_id % 59 = 0 THEN '3000000000' "
+        f"ELSE {did} END || ',' || "
+        f"CASE WHEN doc_id % 23 = 0 THEN '' "
+        f"ELSE '\"role\":\"' || {role} || '\",' END || "
+        f"'\"text\":\"t' || {did} || '\",' || "
+        f"CASE WHEN doc_id % 13 = 0 THEN '\"bogus\":1,' ELSE '' END || "
+        f"'\"score\":' || CASE WHEN doc_id % 31 = 0 THEN '\"high\"' "
+        f"ELSE '0.5' END || ',' || "
+        f"'\"flag\":' || CASE WHEN doc_id % 29 = 0 THEN '\"yes\"' "
+        f"WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END || ',' || "
+        f"'\"blob\":\"' || CASE WHEN doc_id % 37 = 0 THEN '!!!' "
+        f"ELSE 'TURJ' END || '\",' || "
+        f"'\"kind\":\"' || {kind} || '\",' || "
+        f"'\"meta\":' || {meta} || ',' || "
+        f"'\"ts_epoch\":' || CAST(1700000000 + doc_id AS {cast}) || '}}'"
+    )
+    return f"""
+    SELECT doc_id,
+      CASE
+        WHEN doc_id % 11 = 0 THEN substr(j0, 1, length(j0) - 1)
+        WHEN doc_id % 19 = 0 THEN '"' || replace(j0, '"', {esc}) || '"'
+        ELSE j0
+      END AS raw
+    FROM (SELECT doc_id, {j0} AS j0 FROM documents)
+    """
 
 
 def decode_descriptor_payload(col: Column) -> Column:

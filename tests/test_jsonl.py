@@ -104,9 +104,88 @@ def test_fixture_covers_all_reasons(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     docs.createOrReplaceTempView("documents")
     raw = spark.sql(jsonl.fixture_sql("spark"))
-    v = jsonl.validate_json_records(raw, "raw", required_field="role",
+    v = jsonl.validate_json_records(raw, "raw", spec=jsonl.EXTENDED_SPEC,
+                                    required_field="role",
                                     required_value="user")
     seen = {x for r in v.select("violations").collect()
             for x in r["violations"]}
     assert seen == {"malformed", "unknown_field", "type_mismatch",
-                    "missing_field", "field_mismatch"}
+                    "enum_mismatch", "missing_field", "field_mismatch"}
+
+
+# --- full type-dispatch matrix (reference dynamic-message/src/lib.rs:22-247,
+#     mismatch tests dynamic_message_tests.rs:50-73,130-152) ---
+
+SPEC = jsonl.EXTENDED_SPEC
+
+
+def _viol(spark, payload, **kw):
+    kw.setdefault("spec", SPEC)
+    return _validate(spark, [json.dumps(payload)], **kw)[0]["violations"]
+
+
+def test_double_arm(spark):
+    assert _viol(spark, {"score": "high"}) == ["type_mismatch"]
+    assert _viol(spark, {"score": 1.5}) == []
+    assert _viol(spark, {"score": 3}) == []        # int populates double
+    assert _viol(spark, {"score": True}) == ["type_mismatch"]
+
+
+def test_bool_arm(spark):
+    assert _viol(spark, {"flag": "yes"}) == ["type_mismatch"]
+    assert _viol(spark, {"flag": 1}) == ["type_mismatch"]
+    assert _viol(spark, {"flag": False}) == []
+
+
+def test_int_range_arm(spark):
+    # u32-style range check (lib.rs:74-86): value outside i32 fails
+    assert _viol(spark, {"turn_idx": 3000000000}) == ["type_mismatch"]
+    assert _viol(spark, {"turn_idx": 2147483647}) == []
+    assert _viol(spark, {"ts_epoch": 3000000000}) == []  # long is fine
+
+
+def test_string_arm_rejects_non_string_json(spark):
+    assert _viol(spark, {"conv_id": 7}) == ["type_mismatch"]
+    assert _viol(spark, {"conv_id": {"a": 1}}) == ["type_mismatch"]
+    assert _viol(spark, {"conv_id": "c7"}) == []
+
+
+def test_bytes_arm(spark):
+    assert _viol(spark, {"blob": "TURJ"}) == []          # valid base64
+    assert _viol(spark, {"blob": "!!!"}) == ["type_mismatch"]
+    assert _viol(spark, {"blob": 5}) == ["type_mismatch"]
+
+
+def test_enum_arm(spark):
+    assert _viol(spark, {"kind": "chat"}) == []
+    assert _viol(spark, {"kind": "alien"}) == ["enum_mismatch"]
+    assert _viol(spark, {"kind": 2}) == ["enum_mismatch"]
+
+
+def test_nested_struct_arms(spark):
+    assert _viol(spark, {"meta": {"lang": "en", "v": 4}}) == []
+    assert _viol(spark, {"meta": 7}) == ["type_mismatch"]
+    assert _viol(spark, {"meta": {"lang": 5}}) == ["type_mismatch"]
+    assert _viol(spark, {"meta": {"v": "x"}}) == ["type_mismatch"]
+    assert _viol(spark, {"meta": {"lang": "en", "bogus": 1}}) \
+        == ["unknown_field"]
+
+
+def test_typed_required_value(spark):
+    # D5: the reference's field_check value is any JSON scalar
+    v_int = _validate(spark, [json.dumps({"turn_idx": 5}),
+                              json.dumps({"turn_idx": 6}),
+                              json.dumps({"turn_idx": "5"})],
+                      spec=SPEC, required_field="turn_idx",
+                      required_value=5)
+    assert v_int[0]["valid"]
+    assert v_int[1]["violations"] == ["field_mismatch"]
+    # string "5" is not the NUMBER 5 — typed equality, not text equality
+    assert "field_mismatch" in v_int[2]["violations"]
+
+    v_bool = _validate(spark, [json.dumps({"flag": True}),
+                               json.dumps({"flag": False})],
+                       spec=SPEC, required_field="flag",
+                       required_value=True)
+    assert v_bool[0]["valid"]
+    assert v_bool[1]["violations"] == ["field_mismatch"]
