@@ -158,6 +158,27 @@ def _q_qf_metrics(spark, sf_dir):
     )
 
 
+# Deterministic pseudo-duration (µs) for the latency-rollup gate: a pure
+# function of the row, identical in Spark and DuckDB, so the histogram +
+# cumulative-percentile MATH is hash-checked; measured wall-clock batch
+# durations flow through the SAME rollup (operators/latency.timed_scores,
+# tests/test_latency.py).
+_LAT_DUR = "coalesce(length(text), 0) * 3 + 17"
+
+
+def _q_qf_latency(spark, sf_dir):
+    """D10 latency histogram analog (metrics.rs:22-25): per-role duration
+    percentiles over fixed power-of-two µs buckets."""
+    from data_quality_check_spark.operators import latency
+
+    t = transcripts.load(spark, sf_dir)
+    d = t.select(
+        "role",
+        (F.coalesce(F.length("text"), F.lit(0)) * 3 + 17).alias("dur_us"),
+    )
+    return latency.percentiles(d, "dur_us", ("role",))
+
+
 def _q_json_validate(spark, sf_dir):
     """Raw-JSON ingest validation (reference D1-D6): parse, unescape,
     unknown-field rejection, the FULL type-dispatch matrix (int-range,
@@ -323,6 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_reason_histogram": _q_qf_reason_histogram,
         "qf_pipeline_full": _q_qf_pipeline_full,
         "qf_metrics": _q_qf_metrics,
+        "qf_latency": _q_qf_latency,
         "json_validate": _q_json_validate,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -416,6 +438,14 @@ SELECT '{CFG.version}' AS ruleset_version,
   count(*) FILTER (WHERE len({all_reasons}) = 0) AS n_kept,
   count(*) FILTER (WHERE len({all_reasons}) > 0) AS n_dropped
 FROM d
+"""
+
+    from data_quality_check_spark.operators import latency as lat
+
+    qf_latency = f"""
+WITH {td},
+{lat.percentiles_sql(f"SELECT role, {_LAT_DUR} AS dur_us FROM d",
+                     "dur_us", ("role",))}
 """
 
     qf_reason_histogram = f"""
@@ -567,6 +597,7 @@ GROUP BY 1, 2
         "qf_scrub": qf_scrub,
         "qf_reason_histogram": qf_reason_histogram,
         "qf_metrics": qf_metrics,
+        "qf_latency": qf_latency,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_groups": dedup_groups,
