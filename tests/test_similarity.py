@@ -98,3 +98,21 @@ def test_fast_paths_decision_equal_declarative(emb):
     fast = {(r[0], r[1]) for r in
             similarity.pairs_above_fast(emb, threshold=0.5).collect()}
     assert decl == fast
+
+
+def test_decision_margins_are_wide(emb, np_corpus):
+    """The gate compares BLAS-matmul cosines against DuckDB's sequential
+    folds; decision equality is safe only if no graded value sits within
+    float noise of a decision boundary. Assert margins ≥ 1e-9 at the 0.8
+    pair threshold and at top-1/top-2 gaps (exact ties are fine — both
+    engines break them on the smaller id)."""
+    ids, mat = np_corpus
+    sims = mat @ mat.T
+    np.fill_diagonal(sims, -np.inf)
+    # threshold margin (matches dedup_embedding's 0.8 gate)
+    finite = sims[np.isfinite(sims)]
+    assert np.abs(finite - 0.8).min() > 1e-9
+    # top-1 vs top-2 gap per query
+    part = np.sort(sims, axis=1)
+    gaps = part[:, -1] - part[:, -2]
+    assert ((gaps == 0) | (gaps > 1e-9)).all()
