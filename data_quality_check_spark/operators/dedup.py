@@ -86,11 +86,18 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
         F.sequence(F.lit(0), nw - n),
         lambda i: F.array_join(F.slice(words, i + 1, n), " "),
     )).otherwise(F.array(F.array_join(words, " ")))
+    # The shingle set feeds up to FOUR consumers (df-cap count, doc sizes,
+    # both join sides); the split+explode HOF work is the expensive part
+    # (interpreted lambdas — CLAUDE.md perf notes), so materialize the
+    # distinct set ONCE before anything fans out.
     sh = (
         docs.select("doc_id", F.explode(shingles).alias("shingle"))
         .distinct()
-    )
+    ).localCheckpoint()
     if max_shingle_df is not None:
+        # hot-shingle posting-list cap: count per shingle (map-side partial
+        # agg over the materialized set), broadcast the tiny hot set,
+        # anti-join it away BEFORE the quadratic join
         hot = (sh.groupBy("shingle")
                .agg(F.count(F.lit(1)).alias("df"))
                .filter(F.col("df") > max_shingle_df)
