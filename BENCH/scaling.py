@@ -75,6 +75,7 @@ def run_level(cpus: int, sf_dir: str, turns: int) -> dict:
                SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_CPUS=str(cpus),
                BENCH_TURNS=str(turns),
+               BENCH_REPS="2",
                BENCH_SKIP_QUERIES="1")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],

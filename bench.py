@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 TARGET_TURNS = int(float(os.environ.get("BENCH_TURNS", "1000000")))
+REPS = int(os.environ.get("BENCH_REPS", "3"))
 
 
 def build_spark():
@@ -68,12 +69,14 @@ def replicated_input(spark) -> tuple[str, int]:
     return path, spark.read.parquet(path).count()
 
 
-def bench_pipeline_e2e(spark, in_path: str, reps: int = 2) -> float:
+def bench_pipeline_e2e(spark, in_path: str, reps: int = REPS) -> float:
     """read parquet → full label (models+rules+scrub) → stable order → write.
 
     One untimed warmup (codegen compile, Python-worker spawn, page cache)
-    then best-of-`reps` — this box shows heavy host-side steal, so a single
-    cold measurement can be 5x off steady state."""
+    then best-of-`reps` — this box shows heavy host-side steal (identical
+    runs measured 12-29s across one afternoon, BENCH/runs_log.md), so a
+    single cold measurement can be 5x off steady state; best-of-3 is the
+    variance floor we can afford per round."""
     from data_quality_check_spark.functions.udfs import broadcast_models
     from data_quality_check_spark.plans import pipeline
 

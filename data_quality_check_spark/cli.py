@@ -47,6 +47,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="heuristic-only pipeline (skip langid/perplexity)")
     ap.add_argument("--no-resume", action="store_true",
                     help="clear any existing checkpoint and start fresh")
+    ap.add_argument("--measure-latency", action="store_true",
+                    help="record per-chunk scoring-latency percentiles "
+                         "(D10 duration histogram) under latency/")
     ap.add_argument("--files-per-chunk", type=int, default=16)
     ap.add_argument("--output-partitions", type=int, default=None)
     ap.add_argument("--local", type=int, default=None,
@@ -68,6 +71,7 @@ def main(argv: list[str] | None = None) -> int:
         with_models=not args.no_models, bc_models=bc,
         files_per_chunk=args.files_per_chunk,
         output_partitions=args.output_partitions,
+        measure_latency=args.measure_latency,
     )
     n = dq_io.read_output(spark, args.output).count()
     print(json.dumps({

@@ -32,19 +32,33 @@ def broadcast_models(spark: SparkSession, langid_m=None, lm=None):
     return spark.sparkContext.broadcast(payload)
 
 
-def make_scores_udf(bc):
+def make_scores_udf(bc, *, timed: bool = False):
     """pandas UDF text -> struct<lang,lang_conf,ppl>, one hashing pass setup
-    per task (iterator form), numpy math per batch."""
+    per task (iterator form), numpy math per batch.
 
-    @pandas_udf(SCORES_TYPE)
+    timed=True appends `batch_us` — the wall-clock microseconds the row's
+    Arrow batch spent in the fused scoring pass (the reference's
+    validate_json_duration_seconds at Spark's request grain, the batch;
+    metrics.rs:22-25). Score values are bit-identical either way."""
+    import time
+
+    from pyspark.sql import types as T
+
+    schema = (T.StructType(list(SCORES_TYPE.fields)
+                           + [T.StructField("batch_us", T.LongType())])
+              if timed else SCORES_TYPE)
+
+    @pandas_udf(schema)
     def scores(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         models = bc.value  # once per task
         m_lang = models["langid"]
         m_lm = models["lm"]
         for s in batches:
+            t0 = time.perf_counter()
             lang, conf, ppl = score_batch(s.tolist(), m_lang, m_lm)
-            yield pd.DataFrame(
-                {"lang": lang, "lang_conf": conf, "ppl": ppl}
-            )
+            row = {"lang": lang, "lang_conf": conf, "ppl": ppl}
+            if timed:
+                row["batch_us"] = int((time.perf_counter() - t0) * 1e6)
+            yield pd.DataFrame(row)
 
     return scores

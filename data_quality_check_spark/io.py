@@ -104,6 +104,7 @@ def run_job(
     output_partitions: int | None = None,
     fail_after_chunks: int | None = None,
     fail_before_commit: int | None = None,
+    measure_latency: bool = False,
 ) -> JobReport:
     """Run (or resume) the labeling job over `input_path`.
 
@@ -137,8 +138,22 @@ def run_job(
     for chunk in chunks:
         chunk_id = hashlib.sha256("\n".join(chunk).encode()).hexdigest()[:16]
         df = spark.read.parquet(*chunk)
+        timed = measure_latency and with_models
         labeled = pipeline.label_turns(
-            df, cfg, with_models=with_models, bc_models=bc_models)
+            df, cfg, with_models=with_models, bc_models=bc_models,
+            measure_latency=timed)
+        if timed:
+            # D10 duration histogram: per-chunk scoring-latency percentiles
+            # (metrics.rs:22-25 analog) written next to the metrics table
+            from .operators import latency as lat
+
+            lat_rows = lat.percentiles(
+                labeled.select(F.spark_partition_id().alias("partition_id"),
+                               "batch_us"),
+                "batch_us", ("partition_id",))
+            lat_rows.write.mode("overwrite").parquet(
+                os.path.join(output_dir, "latency", f"chunk={chunk_id}"))
+            labeled = labeled.drop("batch_us")
         out = pipeline.stable_order(labeled, output_partitions)
         out.write.mode("overwrite").parquet(
             os.path.join(output_dir, "turns", f"chunk={chunk_id}"))
@@ -244,3 +259,7 @@ def read_output(spark: SparkSession, output_dir: str) -> DataFrame:
 
 def read_metrics(spark: SparkSession, output_dir: str) -> DataFrame:
     return _read_committed(spark, output_dir, "metrics")
+
+
+def read_latency(spark: SparkSession, output_dir: str) -> DataFrame:
+    return _read_committed(spark, output_dir, "latency")

@@ -22,10 +22,6 @@ not percentile_approx, so both engines agree bit-for-bit.
 
 from __future__ import annotations
 
-import time
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 QUANTILES = (0.5, 0.95, 0.99)
@@ -108,23 +104,11 @@ def timed_scores(df: DataFrame, text_col: str, bc_models) -> DataFrame:
     """Measured path: adds `lang`, `lang_conf`, `ppl` AND `batch_us` — the
     wall-clock microseconds the row's Arrow batch spent in the fused
     scoring pass (every row of a batch carries its batch's duration, the
-    way every request carries its own duration in the reference). Iterator
-    pandas UDF, broadcast models, one timing call per batch."""
-    from pyspark.sql.functions import pandas_udf
+    way every request carries its own duration in the reference). Same
+    scoring UDF as the pipeline (bit-identical values), timed form."""
+    from ..functions.udfs import make_scores_udf
 
-    from ..models.scoring import score_batch
-
-    @pandas_udf("lang string, lang_conf double, ppl double, batch_us long")
-    def scored(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
-        models = bc_models.value
-        m_lang, m_lm = models["langid"], models["lm"]
-        for s in batches:
-            t0 = time.perf_counter()
-            lang, conf, ppl = score_batch(s.tolist(), m_lang, m_lm)
-            us = int((time.perf_counter() - t0) * 1e6)
-            yield pd.DataFrame({"lang": lang, "lang_conf": conf, "ppl": ppl,
-                                "batch_us": us})
-
+    scored = make_scores_udf(bc_models, timed=True)
     out = df.withColumn("_ts", scored(F.col(text_col)))
     return (out.withColumn("lang", F.col("_ts.lang"))
             .withColumn("lang_conf", F.col("_ts.lang_conf"))

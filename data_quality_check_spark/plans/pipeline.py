@@ -76,11 +76,15 @@ def label_turns(
     bc_models=None,
     keep_features: bool = False,
     dup_strategy: str = "broadcast",
+    measure_latency: bool = False,
 ) -> DataFrame:
     """Add keep/drop_reasons/text_scrubbed (+ lang/lang_conf/ppl) columns.
 
     `with_models=False` gives the heuristic-only pipeline (fully
     SQL-expressible — used by the DuckDB correctness oracle).
+    `measure_latency=True` (models only) also emits `batch_us` — the
+    measured per-Arrow-batch scoring duration (D10 histogram source,
+    operators/latency.py); score values are bit-identical either way.
     """
     text = F.col("text")
     in_cols = df.columns
@@ -104,7 +108,7 @@ def label_turns(
     if with_models:
         if bc_models is None:
             bc_models = broadcast_models(df.sparkSession)
-        scores = make_scores_udf(bc_models)
+        scores = make_scores_udf(bc_models, timed=measure_latency)
         out = out.withColumn("_scores", scores(text))
         lang = F.col("_scores.lang")
         lang_conf = F.col("_scores.lang_conf")
@@ -125,11 +129,15 @@ def label_turns(
             .withColumn("lang_conf", lang_conf)
             .withColumn("ppl", ppl)
         )
+        if measure_latency:
+            out = out.withColumn("batch_us", F.col("_scores.batch_us"))
     if keep_features:
         out = out.withColumns({name: feats[name] for name in FEATURE_NAMES})
     final_cols = in_cols + ["drop_reasons", "keep", "text_scrubbed"]
     if with_models:
         final_cols += ["lang", "lang_conf", "ppl"]
+        if measure_latency:
+            final_cols += ["batch_us"]
     if keep_features:
         final_cols += list(FEATURE_NAMES)
     return out.select(*final_cols)

@@ -455,6 +455,30 @@ def fixture_sql(dialect: str) -> str:
     """
 
 
+def read_jsonl(spark, path: str, *,
+               spec: tuple[FieldSpec, ...] = TRANSCRIPT_SPEC,
+               **validate_kw) -> DataFrame:
+    """File source for newline-delimited JSON — the batch twin of the
+    reference's HTTP ingestion (one line ≙ one /validate request body).
+
+    spark.read.text keeps each line OPAQUE (no schema inference, no
+    corrupt-record column games) so validate_json_records applies the
+    exact same D1-D6 chain to file input as to any other raw column.
+    Line splits are parallel (text source is splittable); everything
+    downstream is the one-stage validation plan."""
+    raw = spark.read.text(path).withColumnRenamed("value", "raw")
+    return validate_json_records(raw, "raw", spec=spec, **validate_kw)
+
+
+def write_jsonl(df: DataFrame, path: str,
+                spec: tuple[FieldSpec, ...] = TRANSCRIPT_SPEC) -> None:
+    """Round-trip sink: serialize the spec's columns back to one JSON
+    object per line (D4 at table grain)."""
+    cols = [f.name for f in spec]
+    df.select(F.to_json(F.struct(*cols)).alias("value")) \
+        .write.mode("overwrite").text(path)
+
+
 def decode_descriptor_payload(col: Column) -> Column:
     """D8: base64 payload decode (handlers.rs:55-65) — config payloads
     arrive base64-encoded; invalid base64 → null (caller rejects)."""

@@ -189,3 +189,37 @@ def test_typed_required_value(spark):
                        required_value=True)
     assert v_bool[0]["valid"]
     assert v_bool[1]["violations"] == ["field_mismatch"]
+
+
+def test_jsonl_file_source_roundtrip(spark, tmp_path):
+    """File source (one line ≙ one /validate request body): write valid
+    records with write_jsonl, read back through the full D1-D6 chain,
+    recover the typed transcript."""
+    rows = [("c1", 0, "user", "hello", None, 1700000000),
+            ("c1", 1, "assistant", "hi there", None, 1700000001),
+            ("c2", 0, "tool", "result", "search", 1700000002)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts_epoch long")
+    p = str(tmp_path / "jsonl")
+    jsonl.write_jsonl(df, p)
+    v = jsonl.read_jsonl(spark, p)
+    assert v.filter("valid").count() == 3
+    t = jsonl.to_transcript(v)
+    got = {(r["conv_id"], r["turn_idx"], r["role"]) for r in t.collect()}
+    assert got == {("c1", 0, "user"), ("c1", 1, "assistant"),
+                   ("c2", 0, "tool")}
+
+
+def test_jsonl_file_source_flags_bad_lines(spark, tmp_path):
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "part.jsonl").write_text(
+        '{"conv_id":"c1","turn_idx":0}\n'
+        '{"conv_id":"c2","turn_idx":"x"}\n'
+        '{broken\n')
+    v = jsonl.read_jsonl(spark, str(p)).collect()
+    by = {r["raw"][:12]: r["violations"] for r in v}
+    assert by['{"conv_id":"'] in ([], ["type_mismatch"])
+    flat = sorted(x for r in v for x in r["violations"])
+    assert flat == ["malformed", "type_mismatch"]

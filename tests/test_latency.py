@@ -60,3 +60,25 @@ def test_timed_scores_measures_real_batches(spark, bc_models):
     assert p["n"] == 64
     assert p["p50_us"] >= 1
     assert p["p50_us"] <= p["p95_us"] <= p["p99_us"]
+
+
+def test_run_job_writes_latency_table(spark, tmp_path, bc_models):
+    from data_quality_check_spark import io as dq_io
+
+    src = str(tmp_path / "src")
+    rows = [(f"c{i % 5}", i // 5, "user",
+             f"ordinary turn text number {i} with several words", None, None)
+            for i in range(100)]
+    (spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp").repartition(4).write.parquet(src))
+    out = str(tmp_path / "out")
+    dq_io.run_job(spark, src, out, bc_models=bc_models,
+                  files_per_chunk=100, measure_latency=True)
+    lat = dq_io.read_latency(spark, out).collect()
+    assert len(lat) >= 1
+    for r in lat:
+        assert r["p50_us"] >= 1
+        assert r["p50_us"] <= r["p95_us"] <= r["p99_us"]
+    # the labeled output itself does not leak the instrumentation column
+    assert "batch_us" not in dq_io.read_output(spark, out).columns
