@@ -265,6 +265,16 @@ def _q_dedup_embedding(spark, sf_dir):
                                        threshold=0.8)
 
 
+def _q_dedup_embedding_groups(spark, sf_dir):
+    """Composition: exact cosine pairs (block matmul) → connected-component
+    group resolution — the full embedding-dedup decision (which vec_ids
+    collapse into one keepable representative)."""
+    pairs = similarity.pairs_above_fast(_emb_fixture(spark, sf_dir),
+                                        threshold=0.8)
+    groups = dedup.resolve_groups(pairs, a_col="id_a", b_col="id_b")
+    return groups.select(F.col("doc_id").alias("vec_id"), "group_id")
+
+
 def _q_ann_top1(spark, sf_dir):
     """Exact top-1 via broadcast-corpus BLAS matmul (brute_force_topk);
     decision-equal to the O(N^2) declarative join and the DuckDB oracle."""
@@ -299,6 +309,28 @@ def _q_text_quality(spark, sf_dir):
 
 def _q_text_fingerprint(spark, sf_dir):
     return textstats.fingerprints(_docs(spark, sf_dir))
+
+
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _q_sample_split(spark, sf_dir):
+    """Deterministic md5-hex train/val/test assignment — reproducible
+    across engines, partitionings, and appends (operators/sampling.py)."""
+    from data_quality_check_spark.operators import sampling
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        sampling.split_column("doc_id", SPLIT_WEIGHTS).alias("split"),
+    )
+
+
+def _q_text_chunks(spark, sf_dir):
+    """Context-window chunking (64-token windows, 16-token overlap) —
+    narrow expressions only, chunks at scan speed."""
+    return textstats.chunk_documents(_docs(spark, sf_dir), max_tokens=64,
+                                     overlap=16)
 
 
 def _q_text_langid(spark, sf_dir):
@@ -352,12 +384,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_groups": _q_dedup_embedding_groups,
         "ann_top1": _q_ann_top1,
         "ann_lsh_top1": _q_ann_lsh_top1,
         "ann_ivf_top1": _q_ann_ivf_top1,
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
         "text_fingerprint": _q_text_fingerprint,
+        "text_chunks": _q_text_chunks,
+        "sample_split": _q_sample_split,
         "text_langid": _q_text_langid,
         "events_window": _q_events_window,
         "multimodal_features": _q_multimodal_features,
@@ -535,6 +570,31 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       >= 0.8
 """
 
+    dedup_embedding_groups = """
+WITH RECURSIVE fx AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 97 = 0
+),
+pr AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM fx a JOIN fx b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]) >= 0.8
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pr
+  UNION SELECT id_b, id_a FROM pr
+),
+reach(id, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.s, reach.r FROM edges e, reach WHERE e.d = reach.id
+)
+SELECT id AS vec_id, min(r) AS group_id FROM reach GROUP BY id
+"""
+
     ann_top1 = """
 SELECT vec_id, neighbor_id FROM (
   SELECT a.vec_id, b.vec_id AS neighbor_id,
@@ -577,6 +637,16 @@ FROM documents
 SELECT doc_id, md5({norm}) AS fingerprint FROM documents
 """
 
+    from data_quality_check_spark.operators import sampling
+
+    sample_split = f"""
+SELECT doc_id,
+  {sampling.split_column_sql('doc_id', SPLIT_WEIGHTS)} AS split
+FROM documents
+"""
+
+    text_chunks = textstats.chunk_documents_sql(max_tokens=64, overlap=16)
+
     events_window = """
 SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
   event_type,
@@ -602,10 +672,13 @@ GROUP BY 1, 2
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_groups": dedup_groups,
         "dedup_embedding": dedup_embedding,
+        "dedup_embedding_groups": dedup_embedding_groups,
         "ann_top1": ann_top1,
         "text_tokens": text_tokens,
         "text_quality": text_quality,
         "text_fingerprint": text_fingerprint,
+        "text_chunks": text_chunks,
+        "sample_split": sample_split,
         "events_window": events_window,
         # rows-only (model scores / own-hash signatures not SQL-expressible):
         # qf_pipeline_full, dedup_minhash_lsh, dedup_simhash,

@@ -174,6 +174,8 @@ def resolve_groups(pairs: DataFrame, a_col: str = "doc_a",
         # ITS label (grandparent) and take the min of all three
         parents = labels.select(F.col("id").alias("pid"),
                                 F.col("label").alias("plabel"))
+        # carry the OLD label through the round so the convergence count is
+        # a cheap scan of the checkpointed result, not another join
         new_labels = (
             labels
             .join(parents, labels["label"] == parents["pid"], "left")
@@ -185,15 +187,11 @@ def resolve_groups(pairs: DataFrame, a_col: str = "doc_a",
                     F.coalesce(F.col("plabel"), F.col("label")),
                     F.coalesce(F.col("nmin"), F.col("label")),
                 ).alias("label"),
+                F.col("label").alias("_old"),
             )
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
+        labels = new_labels.drop("_old")
         if changed == 0:
             break
     if changed != 0:

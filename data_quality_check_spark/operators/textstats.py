@@ -96,3 +96,68 @@ def langid_table(docs: DataFrame, bc_models, text_col: str = "text") -> DataFram
                 F.col("_s.lang_conf").alias("lang_conf"),
                 F.col("_s.ppl").alias("ppl"))
     )
+
+
+def chunk_documents(docs: DataFrame, max_tokens: int = 128,
+                    overlap: int = 0, text_col: str = "text",
+                    min_tokens: int = 1) -> DataFrame:
+    """Context-window chunking: split each document into whitespace-token
+    windows of `max_tokens` with `overlap` tokens of lookback — the
+    standard training-data packing step before tokenization.
+
+    Pure narrow expressions (split → sequence → transform → posexplode):
+    no shuffle, no Python, composes with scans; a 100 TB corpus chunks at
+    scan speed. Windows start every (max_tokens - overlap) tokens; the
+    final short window is kept when it has ≥ min_tokens tokens (runts from
+    pure-overlap tails are dropped).
+
+    Output: (doc_id, chunk_idx, n_tokens, chunk) — chunk text is the
+    space-joined token window (whitespace canonicalized, same as the
+    reference's D7 tokenizer discipline).
+    """
+    if not (0 <= overlap < max_tokens):
+        raise ValueError("need 0 <= overlap < max_tokens")
+    step = max_tokens - overlap
+    text = F.col(text_col)
+    words = F.filter(F.split(text, rules.WS), lambda w: w != F.lit(""))
+    n = F.size(words)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    chunks = F.transform(
+        starts, lambda s: F.slice(words, s + 1, max_tokens))
+    out = (
+        docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "w"))
+        .select(
+            "doc_id", "chunk_idx",
+            F.size("w").alias("n_tokens"),
+            F.array_join("w", " ").alias("chunk"),
+        )
+        .filter(F.col("n_tokens") >= min_tokens)
+    )
+    return out
+
+
+def chunk_documents_sql(max_tokens: int = 128, overlap: int = 0,
+                        min_tokens: int = 1) -> str:
+    """DuckDB twin of chunk_documents over the `documents` view, generated
+    from the same parameters."""
+    step = max_tokens - overlap
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '[ \t\n\r]+'),
+                w -> w <> '') AS ws
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, gs AS start_idx,
+    ws[gs + 1 : gs + {max_tokens}] AS w
+  FROM words,
+    LATERAL unnest(range(0, greatest(len(ws), 1), {step})) AS t(gs)
+)
+SELECT doc_id,
+  CAST(start_idx / {step} AS INT) AS chunk_idx,
+  len(w) AS n_tokens,
+  array_to_string(w, ' ') AS chunk
+FROM chunks
+WHERE len(w) >= {min_tokens}
+"""

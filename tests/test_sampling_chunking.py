@@ -1,0 +1,103 @@
+"""Deterministic sampling/splitting and context-window chunking."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_check_spark.operators import sampling, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_sample_fraction_matches_python_md5(spark, docs):
+    """Every kept/dropped decision is recomputable in pure Python — the
+    engine-independence property that makes the sample reproducible."""
+    kept = {r["doc_id"] for r in
+            sampling.sample_fraction(docs, "doc_id", 0.25)
+            .select("doc_id").collect()}
+    all_ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    thresh = format(round(0.25 * 65536), "04x")
+    expect = {i for i in all_ids
+              if hashlib.md5(str(i).encode()).hexdigest()[:4] < thresh}
+    assert kept == expect
+    assert 0.15 < len(kept) / len(all_ids) < 0.35  # ≈ frac at n=500
+
+
+def test_sample_is_stable_under_partitioning(spark, docs):
+    a = {r["doc_id"] for r in
+         sampling.sample_fraction(docs, "doc_id", 0.5).collect()}
+    b = {r["doc_id"] for r in
+         sampling.sample_fraction(docs.repartition(13), "doc_id", 0.5)
+         .collect()}
+    assert a == b
+
+
+def test_split_column_partitions_exactly(spark, docs):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    rows = docs.select(
+        "doc_id", sampling.split_column("doc_id", w).alias("split")
+    ).collect()
+    counts = {}
+    for r in rows:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert set(counts) <= set(w)
+    assert sum(counts.values()) == len(rows)  # total partition, no nulls
+    assert counts["train"] > counts.get("val", 0)
+    # splits are disjoint by construction (single CASE) — and a second run
+    # assigns identically
+    again = docs.select(
+        "doc_id", sampling.split_column("doc_id", w).alias("split")
+    ).collect()
+    assert {(r["doc_id"], r["split"]) for r in rows} == \
+           {(r["doc_id"], r["split"]) for r in again}
+
+
+def test_split_weights_must_sum_to_one():
+    with pytest.raises(ValueError):
+        sampling.split_column("k", {"a": 0.5, "b": 0.3})
+
+
+def test_chunks_reconstruct_document(spark):
+    """overlap=0 chunks concatenate back to the whitespace-normalized
+    document; every chunk except the last is exactly max_tokens."""
+    rows = [(1, " ".join(f"w{i}" for i in range(25))),
+            (2, "short doc"),
+            (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textstats.chunk_documents(df, max_tokens=10, overlap=0).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert [c["n_tokens"] for c in by_doc[1]] == [10, 10, 5]
+    joined = " ".join(c["chunk"] for c in by_doc[1])
+    assert joined == rows[0][1]
+    assert [c["n_tokens"] for c in by_doc[2]] == [2]
+    assert 3 not in by_doc  # empty doc → no chunks
+
+
+def test_chunks_overlap_lookback(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(20)))],
+        "doc_id long, text string")
+    out = sorted(textstats.chunk_documents(df, max_tokens=8, overlap=4)
+                 .collect(), key=lambda r: r["chunk_idx"])
+    # starts every 4 tokens; consecutive chunks share 4 tokens
+    c0, c1 = out[0]["chunk"].split(), out[1]["chunk"].split()
+    assert c0[4:] == c1[:4]
+    # full coverage: the union of chunks is the token range
+    seen = {w for r in out for w in r["chunk"].split()}
+    assert seen == {f"w{i}" for i in range(20)}
+
+
+def test_chunk_param_validation(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        textstats.chunk_documents(df, max_tokens=8, overlap=8)
