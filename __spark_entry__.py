@@ -333,6 +333,16 @@ def _q_text_chunks(spark, sf_dir):
                                      overlap=16)
 
 
+def _q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary builder: 100 most frequent tokens via map-side
+    combine + TakeOrderedAndProject (no global sort)."""
+    return textstats.vocab_topk(_docs(spark, sf_dir), k=100)
+
+
+def _q_lang_stats(spark, sf_dir):
+    return textstats.lang_stats(_docs(spark, sf_dir))
+
+
 def _q_text_langid(spark, sf_dir):
     out = textstats.langid_table(_docs(spark, sf_dir), _models(spark))
     return out.select(
@@ -393,6 +403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "text_chunks": _q_text_chunks,
         "sample_split": _q_sample_split,
+        "vocab_topk": _q_vocab_topk,
+        "lang_stats": _q_lang_stats,
         "text_langid": _q_text_langid,
         "events_window": _q_events_window,
         "multimodal_features": _q_multimodal_features,
@@ -646,6 +658,8 @@ FROM documents
 """
 
     text_chunks = textstats.chunk_documents_sql(max_tokens=64, overlap=16)
+    vocab_topk = textstats.vocab_topk_sql(k=100)
+    lang_stats = textstats.LANG_STATS_SQL
 
     events_window = """
 SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
@@ -679,6 +693,8 @@ GROUP BY 1, 2
         "text_fingerprint": text_fingerprint,
         "text_chunks": text_chunks,
         "sample_split": sample_split,
+        "vocab_topk": vocab_topk,
+        "lang_stats": lang_stats,
         "events_window": events_window,
         # rows-only (model scores / own-hash signatures not SQL-expressible):
         # qf_pipeline_full, dedup_minhash_lsh, dedup_simhash,

@@ -161,3 +161,58 @@ SELECT doc_id,
 FROM chunks
 WHERE len(w) >= {min_tokens}
 """
+
+
+def vocab_topk(docs: DataFrame, k: int = 100,
+               text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary: the k most frequent whitespace tokens
+    (lowercased), ties broken lexicographically.
+
+    Plan shape for 100 TB: explode → hash-agg with map-side combine (only
+    distinct (token, partial-count) pairs shuffle) → TakeOrderedAndProject
+    (per-partition top-k, single small merge — never a global sort of the
+    vocabulary)."""
+    text = F.col(text_col)
+    tokens = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(text), rules.WS),
+                     lambda w: w != F.lit(""))
+        ).alias("token"))
+    counts = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
+
+
+def vocab_topk_sql(k: int = 100) -> str:
+    """DuckDB twin over the `documents` view."""
+    return f"""
+SELECT token, count(*) AS n FROM (
+  SELECT unnest(list_filter(
+    string_split_regex(lower(text), '[ \t\n\r]+'), w -> w <> '')) AS token
+  FROM documents
+)
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT {k}
+"""
+
+
+def lang_stats(docs: DataFrame) -> DataFrame:
+    """Per-language corpus rollup over the documents table: doc count,
+    total chars, mean chars (µ-scaled int for engine-stable compare)."""
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.floor(F.avg("n_chars") * 1e6).cast("long")
+            .alias("mean_chars_u"),
+        )
+    )
+
+
+LANG_STATS_SQL = """
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  CAST(floor(avg(n_chars) * 1e6) AS BIGINT) AS mean_chars_u
+FROM documents GROUP BY lang
+"""

@@ -101,3 +101,19 @@ def test_chunk_param_validation(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
         textstats.chunk_documents(df, max_tokens=8, overlap=8)
+
+
+def test_vocab_topk_deterministic_boundary(spark):
+    rows = [(1, "a a a b b c c d e f")]  # ties: b/c at 2; d/e/f at 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["token"], r["n"]) for r in
+           textstats.vocab_topk(df, k=4).collect()]
+    # boundary tie at n=1 broken lexicographically: d wins over e/f
+    assert sorted(got) == [("a", 3), ("b", 2), ("c", 2), ("d", 1)]
+
+
+def test_lang_stats_rollup(spark, docs):
+    got = {r["lang"]: r for r in textstats.lang_stats(docs).collect()}
+    assert sum(r["n_docs"] for r in got.values()) == docs.count()
+    for r in got.values():
+        assert r["total_chars"] >= r["n_docs"]  # non-degenerate
