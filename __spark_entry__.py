@@ -352,6 +352,44 @@ def _q_text_langid(spark, sf_dir):
     )
 
 
+def _q_stream_window_counts(spark, sf_dir):
+    """Structured Streaming under the ORACLE gate: file-stream source →
+    shared labeling plan (heuristic-only, dup detection deferred like any
+    stream) → watermarked event-time window counts → memory sink, run to
+    completion with availableNow. The DuckDB oracle is the equivalent
+    BATCH aggregation — exactly the replayability property streaming
+    correctness rests on."""
+    import hashlib
+    import os as _os
+    import uuid as _uuid
+
+    from data_quality_check_spark.streaming import stream as dqs
+
+    # tag versions the derivation: bump when the source schedule changes
+    tag = hashlib.md5(f"{sf_dir}|spread37".encode()).hexdigest()[:8]
+    src = f"/tmp/dqcs_gate_stream/{tag}"
+    if not _os.path.exists(_os.path.join(src, "_SUCCESS")):
+        t = transcripts.load(spark, sf_dir)
+        # spread event times ×37 so the gate exercises MANY hour windows
+        # (the raw schedule spans only ~sf·5000 seconds); oracle mirrors
+        spread = F.timestamp_seconds(
+            (F.unix_timestamp("ts") - 1700000000) * 37 + 1700000000)
+        t = t.withColumn("ts", F.when(F.col("ts").isNotNull(), spread))
+        t.write.mode("overwrite").parquet(src)
+    st = dqs.read_transcript_stream(spark, src)
+    lab = dqs.label_stream(st, with_models=False)
+    agg = dqs.windowed_drop_counts(lab, window="1 hour",
+                                   watermark="2 hours")
+    name = f"gate_stream_{_uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_timestamp("window_start").cast("long").alias("window_start"),
+        "n_turns", "n_kept", "n_dropped",
+    )
+
+
 def _q_events_window(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     win = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
@@ -406,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "lang_stats": _q_lang_stats,
         "text_langid": _q_text_langid,
+        "stream_window_counts": _q_stream_window_counts,
         "events_window": _q_events_window,
         "multimodal_features": _q_multimodal_features,
     }
@@ -661,6 +700,24 @@ FROM documents
     vocab_topk = textstats.vocab_topk_sql(k=100)
     lang_stats = textstats.LANG_STATS_SQL
 
+    # streaming twin: same labeling rules with dup detection OFF (streams
+    # have no global duplicate view per micro-batch — dup_count := 1), and
+    # the window is the epoch-aligned hour bucket of the event time; rows
+    # with NULL event time cannot enter a watermarked aggregation
+    vf_stream = rules.validation_flags_sql(CFG, dup_count="1")
+    stream_reasons = rules.reasons_sql(vf_stream + hf)
+    stream_window_counts = f"""
+WITH {td},
+sp AS (SELECT *, (ts_epoch - 1700000000) * 37 + 1700000000 AS ts_sp FROM d)
+SELECT CAST(floor(ts_sp / 3600) * 3600 AS BIGINT) AS window_start,
+  count(*) AS n_turns,
+  count(*) FILTER (WHERE len({stream_reasons}) = 0) AS n_kept,
+  count(*) FILTER (WHERE len({stream_reasons}) > 0) AS n_dropped
+FROM sp
+WHERE ts_epoch IS NOT NULL
+GROUP BY 1
+"""
+
     events_window = """
 SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
   event_type,
@@ -695,6 +752,7 @@ GROUP BY 1, 2
         "sample_split": sample_split,
         "vocab_topk": vocab_topk,
         "lang_stats": lang_stats,
+        "stream_window_counts": stream_window_counts,
         "events_window": events_window,
         # rows-only (model scores / own-hash signatures not SQL-expressible):
         # qf_pipeline_full, dedup_minhash_lsh, dedup_simhash,
