@@ -333,6 +333,17 @@ def validation_oracle_sql(required_field: str = "role",
                           required_value="user",
                           spec: tuple[FieldSpec, ...] = EXTENDED_SPEC) -> str:
     """DuckDB twin of validate_json_records() over fixture_sql('duckdb')."""
+    return validation_oracle_sql_over(fixture_sql("duckdb"),
+                                      required_field, required_value, spec)
+
+
+def validation_oracle_sql_over(source_sql: str,
+                               required_field: str = "role",
+                               required_value="user",
+                               spec: tuple[FieldSpec, ...] = EXTENDED_SPEC,
+                               ) -> str:
+    """DuckDB twin over ANY source producing (doc_id, raw) — used by the
+    gate (fixture source) and by the property fuzzer (random payloads)."""
     arms = _duck_arms(spec)
     unknown = " OR ".join(arms["unknown_field"])
     mismatch = " OR ".join(arms["type_mismatch"]) or "FALSE"
@@ -345,7 +356,7 @@ def validation_oracle_sql(required_field: str = "role",
     # evaluates CASE branches vectorized, so guards alone don't protect);
     # malformed rows are replaced by '{}' BEFORE any json_keys/json_type call
     return f"""
-WITH fixture AS ({fixture_sql('duckdb')}),
+WITH fixture AS ({source_sql}),
 fx AS (SELECT doc_id, raw,
        CASE WHEN json_valid(raw) THEN raw ELSE '""' END AS safe
        FROM fixture),
