@@ -158,6 +158,21 @@ def _q_qf_metrics(spark, sf_dir):
     )
 
 
+# v2 ruleset for the migration-diff gate: lower word ceiling (drops the
+# long half of the corpus: fixture docs span 10-99 words) AND relaxed word
+# floor (re-keeps the short-text anomaly rows) — flips in BOTH directions.
+import dataclasses as _dc
+
+CFG_V2 = _dc.replace(CFG, version="v2", min_words=1, max_words=50)
+
+
+def _q_qf_ruleset_diff(spark, sf_dir):
+    """Ruleset-migration impact (runtime-registry analog): rows whose
+    keep decision flips between CFG v1 and v2, one pass, no self-join."""
+    t = transcripts.load(spark, sf_dir)
+    return pipeline.ruleset_diff(t, CFG, CFG_V2)
+
+
 # Deterministic pseudo-duration (µs) for the latency-rollup gate: a pure
 # function of the row, identical in Spark and DuckDB, so the histogram +
 # cumulative-percentile MATH is hash-checked; measured wall-clock batch
@@ -425,6 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_pipeline_full": _q_qf_pipeline_full,
         "qf_metrics": _q_qf_metrics,
         "qf_latency": _q_qf_latency,
+        "qf_ruleset_diff": _q_qf_ruleset_diff,
         "json_validate": _q_json_validate,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -532,6 +548,22 @@ FROM d
 WITH {td},
 {lat.percentiles_sql(f"SELECT role, {_LAT_DUR} AS dur_us FROM d",
                      "dur_us", ("role",))}
+"""
+
+    vf2 = rules.validation_flags_sql(CFG_V2)
+    hf2 = rules.heuristic_flags_sql(CFG_V2)
+    reasons_v2 = rules.reasons_sql(vf2 + hf2)
+    qf_ruleset_diff = f"""
+WITH {td},
+lab AS (SELECT conv_id, turn_idx, {all_reasons} AS r_old,
+               {reasons_v2} AS r_new FROM d)
+SELECT conv_id, turn_idx,
+  len(r_old) = 0 AS keep_old,
+  len(r_new) = 0 AS keep_new,
+  coalesce(list_aggregate(r_old, 'string_agg', ','), '') AS reasons_old,
+  coalesce(list_aggregate(r_new, 'string_agg', ','), '') AS reasons_new
+FROM lab
+WHERE (len(r_old) = 0) <> (len(r_new) = 0)
 """
 
     qf_reason_histogram = f"""
@@ -739,6 +771,7 @@ GROUP BY 1, 2
         "qf_reason_histogram": qf_reason_histogram,
         "qf_metrics": qf_metrics,
         "qf_latency": qf_latency,
+        "qf_ruleset_diff": qf_ruleset_diff,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_groups": dedup_groups,

@@ -225,3 +225,50 @@ def metrics_table(labeled: DataFrame, cfg: RuleSet = DEFAULT_RULESET,
         .withColumn("ruleset_version", F.lit(cfg.version))
     )
     return metrics
+
+
+def ruleset_diff(df: DataFrame, cfg_old: RuleSet, cfg_new: RuleSet,
+                 *, with_models: bool = False) -> DataFrame:
+    """Ruleset-migration impact: label the SAME rows under two ruleset
+    versions in ONE pass and report every turn whose keep decision flips,
+    with both reason lists.
+
+    The batch analog of the reference's runtime-mutable descriptor
+    registry (handlers.rs PUT /descriptors — swap the schema, revalidate):
+    before rolling cfg_new over 100 TB, run the diff on a sample and read
+    exactly what changes. ONE pass: one scan, one dup-key detection, one
+    feature derivation — only the threshold comparisons run twice. No
+    self-join (which would also mis-multiply duplicated composite keys).
+    """
+    text = F.col("text")
+    out, dup_count = dup_flag_column(df)
+    out = out.withColumns(rules.split_columns(text))
+    feat_exprs = rules.feature_columns_from(
+        text, F.col("_words"), F.col("_lines"))
+    out = out.withColumns({f"_f_{k}": v for k, v in feat_exprs.items()})
+    feats = {k: F.col(f"_f_{k}") for k in feat_exprs}
+    cols = {c: F.col(c) for c in ("conv_id", "turn_idx", "role", "text",
+                                  "tool", "ts")}
+    if with_models:
+        raise NotImplementedError(
+            "model thresholds diff fine too, but the oracle twin is "
+            "heuristic-only; score once and compare lang_conf/ppl "
+            "thresholds on the scored columns if needed")
+    sides = {}
+    for tag, cfg in (("old", cfg_old), ("new", cfg_new)):
+        flags = rules.validation_flags(cols, cfg, dup_count)
+        flags += rules.heuristic_flags(feats, text, cfg)
+        reasons = rules.reasons_array(flags)
+        sides[tag] = reasons
+    out = out.withColumn("_r_old", sides["old"])
+    out = out.withColumn("_r_new", sides["new"])
+    return (
+        out.filter((F.size("_r_old") == 0) != (F.size("_r_new") == 0))
+        .select(
+            "conv_id", "turn_idx",
+            (F.size("_r_old") == 0).alias("keep_old"),
+            (F.size("_r_new") == 0).alias("keep_new"),
+            F.array_join("_r_old", ",").alias("reasons_old"),
+            F.array_join("_r_new", ",").alias("reasons_new"),
+        )
+    )

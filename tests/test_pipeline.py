@@ -145,3 +145,36 @@ def test_scan_prunes_columns(spark):
     assert "doc_id" in plan
     for unused in ("lang", "source", "n_chars"):
         assert f",{unused}" not in plan.replace(" ", "")
+
+
+def test_ruleset_diff_one_pass_both_directions(spark):
+    import dataclasses
+
+    from data_quality_check_spark.config import DEFAULT_RULESET
+    from data_quality_check_spark.plans import pipeline as P
+
+    from datetime import datetime
+
+    ts = datetime(2023, 11, 15)
+    rows = [
+        ("c1", 0, "user", "one", None, ts),                    # 1 word
+        ("c1", 1, "user", " ".join(["w"] * 8), None, ts),      # 8 words
+        ("c1", 2, "user", " ".join(["the ok"] * 30), None, ts),  # 60 words
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    v2 = dataclasses.replace(DEFAULT_RULESET, version="v2",
+                             min_words=1, max_words=50)
+    diff = {(r["conv_id"], r["turn_idx"]): (r["keep_old"], r["keep_new"])
+            for r in P.ruleset_diff(df, DEFAULT_RULESET, v2).collect()}
+    assert diff[("c1", 0)] == (False, True)   # re-kept by lower floor
+    assert diff[("c1", 2)] == (True, False)   # dropped by lower ceiling
+    assert ("c1", 1) not in diff              # unchanged rows not emitted
+    # plan sanity: one pass — no self-join of two labelings
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        P.ruleset_diff(df, DEFAULT_RULESET, v2).explain()
+    assert buf.getvalue().count("SortMergeJoin") == 0
