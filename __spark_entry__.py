@@ -405,6 +405,40 @@ def _q_stream_window_counts(spark, sf_dir):
     )
 
 
+def _q_stream_conv_stats(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState) under
+    the oracle: per-conversation running aggregates, run to completion
+    with availableNow — the final state must equal the batch groupBy."""
+    import hashlib
+    import os as _os
+    import uuid as _uuid
+
+    from data_quality_check_spark.streaming import stream as dqs
+
+    tag = hashlib.md5(f"{sf_dir}|spread37".encode()).hexdigest()[:8]
+    src = f"/tmp/dqcs_gate_stream/{tag}"
+    if not _os.path.exists(_os.path.join(src, "_SUCCESS")):
+        _q_stream_window_counts(spark, sf_dir)  # materializes the source
+    st = dqs.read_transcript_stream(spark, src)
+    lab = dqs.label_stream(st, with_models=False)
+    stats = dqs.conversation_stats_stream(lab)
+    name = f"gate_convstats_{_uuid.uuid4().hex[:8]}"
+    q = (stats.writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.table(name)
+    # update mode re-emits a conversation whenever it changes; the final
+    # state is the max-n_turns row per conv (counts only grow)
+    from pyspark.sql import Window
+    w = (Window.partitionBy("conv_id")
+         .orderBy(F.col("n_turns").desc(), F.col("n_kept").desc()))
+    return (out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("conv_id", "n_turns", "n_kept", "max_turn_idx",
+                    F.unix_timestamp("last_ts").cast("long")
+                    .alias("last_ts_epoch")))
+
+
 def _q_events_window(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     win = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
@@ -461,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_stats": _q_lang_stats,
         "text_langid": _q_text_langid,
         "stream_window_counts": _q_stream_window_counts,
+        "stream_conv_stats": _q_stream_conv_stats,
         "events_window": _q_events_window,
         "multimodal_features": _q_multimodal_features,
     }
@@ -750,6 +785,19 @@ WHERE ts_epoch IS NOT NULL
 GROUP BY 1
 """
 
+    stream_conv_stats = f"""
+WITH {td},
+sp AS (SELECT *, (ts_epoch - 1700000000) * 37 + 1700000000 AS ts_sp FROM d),
+lab AS (SELECT conv_id, turn_idx, ts_sp,
+               len({stream_reasons}) = 0 AS keep FROM sp)
+SELECT conv_id,
+  count(*) AS n_turns,
+  count(*) FILTER (WHERE keep) AS n_kept,
+  CAST(coalesce(max(coalesce(turn_idx, -1)), -1) AS INT) AS max_turn_idx,
+  CAST(coalesce(max(ts_sp), 0) AS BIGINT) AS last_ts_epoch
+FROM lab GROUP BY conv_id
+"""
+
     events_window = """
 SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
   event_type,
@@ -786,6 +834,7 @@ GROUP BY 1, 2
         "vocab_topk": vocab_topk,
         "lang_stats": lang_stats,
         "stream_window_counts": stream_window_counts,
+        "stream_conv_stats": stream_conv_stats,
         "events_window": events_window,
         # rows-only (model scores / own-hash signatures not SQL-expressible):
         # qf_pipeline_full, dedup_minhash_lsh, dedup_simhash,
