@@ -150,29 +150,31 @@ def _spark_arms(spec, src_col: str, parsed: Column, path: str,
         _not_false(F.exists(keys, lambda k: ~k.isin(*names))))
     for f in spec:
         p = f"{path}.{f.name}"
-        raw_val = F.get_json_object(F.col(src_col), p)
-        has_val = (_not_false(F.arrays_overlap(keys, F.array(F.lit(f.name))))
-                   & raw_val.isNotNull())
+        # ONE variant access answers both "is the key present with a
+        # non-null value" (absent → SQL NULL, JSON null → VOID) and "what
+        # JSON type is it" — no per-field get_json_object re-parse
+        vt = F.coalesce(_vtype(var_col, p), F.lit("VOID"))
+        has_val = vt != "VOID"
         leaf = parsed[f.name]
         if f.kind in ("int", "long", "double", "bool"):
             # PERMISSIVE from_json nulls an unpopulatable leaf; int is
             # range-checked by the parser itself (u32 analog)
             arms["type_mismatch"].append(has_val & leaf.isNull())
         elif f.kind == "string":
-            arms["type_mismatch"].append(
-                has_val & (_vtype(var_col, p) != "STRING"))
+            arms["type_mismatch"].append(has_val & (vt != "STRING"))
         elif f.kind == "bytes":
             arms["type_mismatch"].append(
-                has_val & ((_vtype(var_col, p) != "STRING")
-                           | ~leaf.rlike(B64_RE)))
+                has_val & ((vt != "STRING")
+                           | ~_not_false(leaf.rlike(B64_RE))))
         elif f.kind == "enum":
             arms["enum_mismatch"].append(
-                has_val & ((_vtype(var_col, p) != "STRING")
-                           | ~leaf.isin(*f.enum_vocab)))
+                has_val & ((vt != "STRING")
+                           | ~_not_false(leaf.isin(*f.enum_vocab))))
         elif f.kind == "struct":
-            is_obj = _vtype(var_col, p).startswith("OBJECT")
+            is_obj = vt.startswith("OBJECT")
             arms["type_mismatch"].append(has_val & ~is_obj)
-            child_keys = F.json_object_keys(raw_val)
+            child_keys = F.json_object_keys(
+                F.get_json_object(F.col(src_col), p))
             sub = _spark_arms(f.fields, src_col, leaf, p, child_keys,
                               var_col)
             for k, cs in sub.items():

@@ -116,3 +116,14 @@ def test_decision_margins_are_wide(emb, np_corpus):
     part = np.sort(sims, axis=1)
     gaps = part[:, -1] - part[:, -2]
     assert ((gaps == 0) | (gaps > 1e-9)).all()
+
+
+def test_ivf_results_stable_across_partitioning(emb):
+    """ADVICE r01: limit() without ordering made the IVF quantizer depend
+    on partition layout. Pin the fix: identical neighbors from identical
+    data under different partitionings."""
+    a = {(r["vec_id"], r["neighbor_id"]) for r in
+         similarity.ivf_topk(emb, k=1, nprobe=4).collect()}
+    b = {(r["vec_id"], r["neighbor_id"]) for r in
+         similarity.ivf_topk(emb.repartition(13), k=1, nprobe=4).collect()}
+    assert a == b
