@@ -189,7 +189,9 @@ def resolve_groups(pairs: DataFrame, a_col: str = "doc_a",
                 ).alias("label"),
                 F.col("label").alias("_old"),
             )
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
+        # lazy checkpoint: the convergence count below is the action that
+        # materializes the round (one job per round, not two)
         changed = new_labels.filter(F.col("label") != F.col("_old")).count()
         labels = new_labels.drop("_old")
         if changed == 0:
