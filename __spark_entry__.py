@@ -464,6 +464,30 @@ def _q_multimodal_features(spark, sf_dir):
     )
 
 
+def _q_multimodal_meta(spark, sf_dir):
+    """Multimodal schema contract under the oracle: the typed metadata and
+    payload sizes of the media table are pure media_id arithmetic, so
+    DuckDB re-derives them exactly (the binary payload itself is the
+    honestly-stubbed decode input, covered rows-only)."""
+    from data_quality_check_spark.operators import multimodal
+
+    media = multimodal.synth_media(spark, n=256)
+    return media.select(
+        "media_id", "kind", "mime", "width", "height", "duration_ms",
+        F.length("payload").cast("long").alias("payload_bytes"),
+    )
+
+
+def _q_multimodal_frames(spark, sf_dir):
+    """Video frame-sampling plan (explode-then-decode shape): frames, not
+    files, are the unit of parallelism; the timestamp expansion is exact
+    arithmetic, checked against DuckDB."""
+    from data_quality_check_spark.operators import multimodal
+
+    media = multimodal.synth_media(spark, n=256)
+    return multimodal.frame_sample_plan(media, every_ms=1000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qf_pipeline": _q_qf_pipeline,
@@ -498,6 +522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_conv_stats": _q_stream_conv_stats,
         "events_window": _q_events_window,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_meta": _q_multimodal_meta,
+        "multimodal_frames": _q_multimodal_frames,
     }
 
 
@@ -798,6 +824,33 @@ SELECT conv_id,
 FROM lab GROUP BY conv_id
 """
 
+    # re-derivation of synth_media's metadata arithmetic (operators/
+    # multimodal.synth_media) — same kind/mime/dims/size schedule
+    mm_base = """
+SELECT CAST(i AS BIGINT) AS media_id,
+  CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       ELSE 'video' END AS kind,
+  CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+       ELSE 'video/mp4' END AS mime,
+  CASE WHEN i % 3 = 1 THEN NULL
+       ELSE CAST(64 * (1 + i % 4) AS INT) END AS width,
+  CASE WHEN i % 3 = 1 THEN NULL
+       ELSE CAST(48 * (1 + i % 3) AS INT) END AS height,
+  CASE WHEN i % 3 = 0 THEN NULL
+       ELSE CAST(1000 * (1 + i % 30) AS INT) END AS duration_ms,
+  CAST(64 + (i % 17) * 32 AS BIGINT) AS payload_bytes
+FROM range(256) t(i)
+"""
+
+    multimodal_meta = mm_base
+
+    multimodal_frames = f"""
+WITH m AS ({mm_base})
+SELECT media_id, mime, CAST(f AS INT) AS frame_ts_ms
+FROM m, LATERAL unnest(range(0, duration_ms, 1000)) AS t(f)
+WHERE kind = 'video'
+"""
+
     events_window = """
 SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
   event_type,
@@ -836,6 +889,8 @@ GROUP BY 1, 2
         "stream_window_counts": stream_window_counts,
         "stream_conv_stats": stream_conv_stats,
         "events_window": events_window,
+        "multimodal_meta": multimodal_meta,
+        "multimodal_frames": multimodal_frames,
         # rows-only (model scores / own-hash signatures not SQL-expressible):
         # qf_pipeline_full, dedup_minhash_lsh, dedup_simhash,
         # ann_lsh_top1, ann_ivf_top1, text_langid, multimodal_features
