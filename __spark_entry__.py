@@ -439,6 +439,15 @@ def _q_stream_conv_stats(spark, sf_dir):
                     .alias("last_ts_epoch")))
 
 
+def _q_event_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) over the events table
+    — two window functions + one aggregate, one user-keyed shuffle."""
+    from data_quality_check_spark.operators import sessions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessions.sessionize(ev, gap_s=1800)
+
+
 def _q_events_window(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     win = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
@@ -521,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_counts": _q_stream_window_counts,
         "stream_conv_stats": _q_stream_conv_stats,
         "events_window": _q_events_window,
+        "event_sessions": _q_event_sessions,
         "multimodal_features": _q_multimodal_features,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_frames": _q_multimodal_frames,
@@ -782,6 +792,7 @@ SELECT doc_id, md5({norm}) AS fingerprint FROM documents
 """
 
     from data_quality_check_spark.operators import sampling
+    from data_quality_check_spark.operators import sessions as sessions_mod
 
     sample_split = f"""
 SELECT doc_id,
@@ -889,6 +900,7 @@ GROUP BY 1, 2
         "stream_window_counts": stream_window_counts,
         "stream_conv_stats": stream_conv_stats,
         "events_window": events_window,
+        "event_sessions": sessions_mod.sessionize_sql(gap_s=1800),
         "multimodal_meta": multimodal_meta,
         "multimodal_frames": multimodal_frames,
         # rows-only (model scores / own-hash signatures not SQL-expressible):

@@ -83,6 +83,24 @@ def _grid_keys(spark, n_blocks: int, *, triangular: bool) -> DataFrame:
     return keys.filter("blk_a <= blk_b") if triangular else keys
 
 
+MAX_GROUP = 1024  # hot-bucket guard: member-pool cap per bucket/cell
+
+
+def _cap_members(ids: np.ndarray, mat: np.ndarray,
+                 cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic member-pool cap for a hot bucket/cell: keep the `cap`
+    smallest ids. A pathological group (10^6 identical embeddings in one
+    bucket) otherwise makes the within-group matmul quadratic; capped, the
+    work is |group|·cap — linear — and every query still scores against a
+    partition-independent candidate pool. Recall tradeoff applies only to
+    groups larger than cap (where near-identical members are interchangeable
+    candidates anyway)."""
+    if len(ids) <= cap:
+        return ids, mat
+    order = np.argsort(ids, kind="stable")[:cap]
+    return ids[order], mat[order]
+
+
 def _norm_rows(mat: np.ndarray) -> np.ndarray:
     """Row-normalize with the zero-norm guard (zero vector → cos 0.0)."""
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -216,7 +234,8 @@ def kmeans_np(mat: np.ndarray, k: int, iters: int = 10,
 
 def ivf_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
              vec_col: str = "embedding", n_cells: int | None = None,
-             nprobe: int = 4, sample: int = 100_000) -> DataFrame:
+             nprobe: int = 4, sample: int = 100_000,
+             max_group: int = MAX_GROUP) -> DataFrame:
     """IVF approximate top-k: k-means coarse quantizer (trained on a driver
     sample, broadcast), every vector posted to its own cell, every QUERY
     probed against its `nprobe` nearest cells, exact cosine re-rank inside.
@@ -270,18 +289,19 @@ def ivf_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
     posts = corpus.unionByName(queries)
 
     def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
-        """Probed queries × cell members via one matmul per cell."""
+        """Probed queries × cell members via one matmul per cell; member
+        pool capped so a hot cell stays linear."""
         members = pdf[pdf["probe"] == 0]
         probes = pdf[pdf["probe"] == 1]
         if not len(members) or not len(probes):
             return pd.DataFrame({id_col: [], "neighbor_id": [], "cos": []})
         mv = np.asarray(members[vec_col].tolist(), dtype=np.float64)
         qv = np.asarray(probes[vec_col].tolist(), dtype=np.float64)
+        mids, mv = _cap_members(members[id_col].to_numpy(), mv, max_group)
         mv = _norm_rows(mv)
         qv = _norm_rows(qv)
         sims = qv @ mv.T
         qids = probes[id_col].to_numpy()
-        mids = members[id_col].to_numpy()
         iu, ju = np.nonzero(qids[:, None] != mids[None, :])
         return pd.DataFrame({
             id_col: qids[iu], "neighbor_id": mids[ju], "cos": sims[iu, ju],
@@ -324,7 +344,8 @@ def n_planes_for(n_vectors: int, target_bucket: int = TARGET_BUCKET) -> int:
 
 def lsh_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
              vec_col: str = "embedding", tables: int = N_TABLES,
-             planes: int | None = None) -> DataFrame:
+             planes: int | None = None,
+             max_group: int = MAX_GROUP) -> DataFrame:
     """Approximate top-k: random-hyperplane buckets × `tables` hash tables;
     candidates = bucket collisions in any table; exact cosine re-rank.
 
@@ -359,17 +380,20 @@ def lsh_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
     )
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        """All-pairs cosine inside one (table, bucket) group via a single
-        matmul — vectorized replacement for per-pair expression folds; the
-        group is small by construction (TARGET_BUCKET expected)."""
+        """Within-bucket cosine via a single matmul — vectorized
+        replacement for per-pair expression folds; the group is small by
+        construction (TARGET_BUCKET expected), and the member side is
+        capped so an adversarial hot bucket stays |group|·cap, not
+        |group|²."""
         ids = pdf[id_col].to_numpy()
         v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
         v = _norm_rows(v)
-        sims = v @ v.T
-        iu, ju = np.nonzero(~np.eye(len(ids), dtype=bool))
+        mids, mv = _cap_members(ids, v, max_group)
+        sims = v @ mv.T
+        iu, ju = np.nonzero(ids[:, None] != mids[None, :])
         return pd.DataFrame({
             id_col: ids[iu],
-            "neighbor_id": ids[ju],
+            "neighbor_id": mids[ju],
             "cos": sims[iu, ju],
         })
 

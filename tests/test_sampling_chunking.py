@@ -117,3 +117,37 @@ def test_lang_stats_rollup(spark, docs):
     assert sum(r["n_docs"] for r in got.values()) == docs.count()
     for r in got.values():
         assert r["total_chars"] >= r["n_docs"]  # non-degenerate
+
+
+def test_sessionize_gap_semantics(spark):
+    from datetime import datetime, timedelta
+
+    from data_quality_check_spark.operators import sessions
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 7, t0, 1.0),
+        (2, 7, t0 + timedelta(minutes=10), 2.0),   # same session (<=30m)
+        (3, 7, t0 + timedelta(minutes=50), 3.0),   # 40m gap → new session
+        (4, 8, t0, 5.0),                            # other user independent
+        (5, 7, None, 9.0),                          # null ts excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    got = {(r["user_id"], r["session_idx"]):
+           (r["n_events"], r["sum_value_k"])
+           for r in sessions.sessionize(df, gap_s=1800).collect()}
+    assert got == {(7, 0): (2, 3000), (7, 1): (1, 3000), (8, 0): (1, 5000)}
+
+
+def test_sessionize_boundary_gap_is_same_session(spark):
+    from datetime import datetime, timedelta
+
+    from data_quality_check_spark.operators import sessions
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(1, 1, t0, 0.0), (2, 1, t0 + timedelta(seconds=1800), 0.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    out = sessions.sessionize(df, gap_s=1800).collect()
+    assert len(out) == 1 and out[0]["n_events"] == 2  # gap == 1800 merges

@@ -127,3 +127,24 @@ def test_ivf_results_stable_across_partitioning(emb):
     b = {(r["vec_id"], r["neighbor_id"]) for r in
          similarity.ivf_topk(emb.repartition(13), k=1, nprobe=4).collect()}
     assert a == b
+
+
+def test_hot_bucket_guard_bounds_adversarial_input(spark):
+    """10^6 identical embeddings in one LSH bucket would be quadratic;
+    with the member cap every query still gets its neighbor and the
+    within-bucket work stays |group|·cap."""
+    base = [0.3, -0.7, 0.64, 0.11]
+    rows = [(i, base) for i in range(3000)]          # all collide
+    rows += [(100000 + i, [float(i + 1), 0.5, -0.2, 0.9])
+             for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["neighbor_id"] for r in
+           similarity.lsh_topk(df, k=1, max_group=64).collect()}
+    # every clone finds another clone (cos 1.0) despite the cap
+    clone_hits = sum(1 for i in range(3000)
+                     if got.get(i) is not None and got[i] < 3000)
+    assert clone_hits >= 2900
+    got_ivf = {r["vec_id"]: r["neighbor_id"] for r in
+               similarity.ivf_topk(df, k=1, max_group=64).collect()}
+    assert sum(1 for i in range(3000)
+               if got_ivf.get(i) is not None and got_ivf[i] < 3000) >= 2900
