@@ -448,6 +448,24 @@ def _q_event_sessions(spark, sf_dir):
     return sessions.sessionize(ev, gap_s=1800)
 
 
+def _q_events_props(spark, sf_dir):
+    """The spec-driven JSON validator as a COMPOSABLE column operator:
+    validate + extract the events table's `props` JSON column (spec: one
+    long field `k`), rolled up per event type."""
+    from data_quality_check_spark.sources import jsonl
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spec = (jsonl.FieldSpec("k", "long"),)
+    v = jsonl.validate_json_records(ev, "props", spec=spec,
+                                    json_escaped=False)
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("valid")).alias("n_valid"),
+        F.sum(F.when(F.col("valid"), F.col("k"))).cast("long")
+        .alias("sum_k"),
+    )
+
+
 def _q_events_window(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     win = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
@@ -531,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_conv_stats": _q_stream_conv_stats,
         "events_window": _q_events_window,
         "event_sessions": _q_event_sessions,
+        "events_props": _q_events_props,
         "multimodal_features": _q_multimodal_features,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_frames": _q_multimodal_frames,
@@ -835,6 +854,33 @@ SELECT conv_id,
 FROM lab GROUP BY conv_id
 """
 
+    # validator-as-column-operator twin: same arms as the spec-driven
+    # validator for spec (k: long), pre-sanitized against malformed JSON
+    # (DuckDB CASE is vectorized — json_type must never see garbage)
+    events_props = """
+WITH sane AS (
+  SELECT event_type,
+    CASE WHEN json_valid(props) THEN props ELSE '{}' END AS p,
+    json_valid(props) AS wellformed
+  FROM events
+),
+ok AS (
+  SELECT event_type,
+    wellformed AND json_type(p::JSON) = 'OBJECT'
+    AND coalesce(len(list_filter(json_keys(p), x -> x NOT IN ('k'))), 0) = 0
+    AND (json_type(p, '$.k') IS NULL OR json_type(p, '$.k') = 'NULL'
+         OR (json_type(p, '$.k') IN ('BIGINT', 'UBIGINT')
+             AND TRY_CAST(json_extract_string(p, '$.k') AS BIGINT)
+                 IS NOT NULL)) AS valid,
+    TRY_CAST(json_extract_string(p, '$.k') AS BIGINT) AS k
+  FROM sane
+)
+SELECT event_type, count(*) AS n,
+  count(*) FILTER (WHERE valid) AS n_valid,
+  CAST(sum(CASE WHEN valid THEN k END) AS BIGINT) AS sum_k
+FROM ok GROUP BY event_type
+"""
+
     # re-derivation of synth_media's metadata arithmetic (operators/
     # multimodal.synth_media) — same kind/mime/dims/size schedule
     mm_base = """
@@ -901,6 +947,7 @@ GROUP BY 1, 2
         "stream_conv_stats": stream_conv_stats,
         "events_window": events_window,
         "event_sessions": sessions_mod.sessionize_sql(gap_s=1800),
+        "events_props": events_props,
         "multimodal_meta": multimodal_meta,
         "multimodal_frames": multimodal_frames,
         # rows-only (model scores / own-hash signatures not SQL-expressible):
