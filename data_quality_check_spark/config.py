@@ -14,7 +14,7 @@ geometry or parallelism.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from . import corpus
 

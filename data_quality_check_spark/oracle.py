@@ -16,7 +16,6 @@ Per the north rule: Spark output must match this oracle's keep/drop decision
 
 from __future__ import annotations
 
-import math
 import re
 from collections import Counter
 from dataclasses import dataclass, field

@@ -40,7 +40,7 @@ Engine-parity notes (probed, pinned by tests/test_jsonl.py):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
