@@ -105,6 +105,7 @@ def run_job(
     fail_after_chunks: int | None = None,
     fail_before_commit: int | None = None,
     measure_latency: bool = False,
+    max_records_per_file: int | None = None,
 ) -> JobReport:
     """Run (or resume) the labeling job over `input_path`.
 
@@ -155,7 +156,13 @@ def run_job(
                 os.path.join(output_dir, "latency", f"chunk={chunk_id}"))
             labeled = labeled.drop("batch_us")
         out = pipeline.stable_order(labeled, output_partitions)
-        out.write.mode("overwrite").parquet(
+        w = out.write.mode("overwrite")
+        if max_records_per_file:
+            # compaction control: output_partitions bounds file count from
+            # below (parallelism), maxRecordsPerFile from above (no
+            # gigantic files for downstream range readers)
+            w = w.option("maxRecordsPerFile", str(max_records_per_file))
+        w.parquet(
             os.path.join(output_dir, "turns", f"chunk={chunk_id}"))
         metrics = pipeline.metrics_table(
             labeled, cfg, with_models=with_models)
@@ -263,3 +270,17 @@ def read_metrics(spark: SparkSession, output_dir: str) -> DataFrame:
 
 def read_latency(spark: SparkSession, output_dir: str) -> DataFrame:
     return _read_committed(spark, output_dir, "latency")
+
+
+def write_bucketed(df: DataFrame, table: str, buckets: int,
+                   key: tuple[str, ...] = ("conv_id",),
+                   sort: tuple[str, ...] = ("conv_id", "turn_idx")) -> None:
+    """Bucketed managed table: pre-shuffled + pre-sorted on `key`, so
+    repeated joins/aggregations on that key run with ZERO exchanges
+    (SortMergeJoin directly over bucket files — plan-asserted in
+    tests/test_plans.py). The 100 TB pattern for dimension co-location:
+    pay the shuffle once at write time, never again per query. Bucket
+    count should match the downstream parallelism target (one task per
+    bucket per join)."""
+    (df.write.bucketBy(buckets, *key).sortBy(*sort)
+     .mode("overwrite").format("parquet").saveAsTable(table))

@@ -117,3 +117,35 @@ def test_minhash_band_exchange_excludes_signature(spark):
         inputs = blk.split("Arguments:")[0]
         assert re.search(r"\bsig#", inputs) is None
         assert "band_hash" in inputs
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Co-located joins: two tables bucketed on the same key SortMergeJoin
+    with ZERO exchanges — the pay-the-shuffle-once pattern write_bucketed
+    exists for."""
+    from pyspark.sql import functions as F
+
+    from data_quality_check_spark import io as dq_io
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS btest LOCATION '{tmp_path}'")
+    df = spark.range(5000).select(
+        F.concat(F.lit("c"), F.col("id") % 97).alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.lit("x").alias("text"))
+    dq_io.write_bucketed(df, "btest.a", buckets=8)
+    dq_io.write_bucketed(df, "btest.b", buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("btest.a").join(spark.table("btest.b"),
+                                        "conv_id")
+        plan = plan_str(j)
+        n = j.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE btest.a")
+        spark.sql("DROP TABLE btest.b")
+        spark.sql("DROP DATABASE btest")
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert n > 5000  # conv_id join multiplies within conversations

@@ -109,3 +109,14 @@ def test_resume_after_crash_before_manifest_commit(spark, tmp_path, src):
         .select("input_file").distinct().collect()
     }
     assert metric_files == files_in
+
+
+def test_max_records_per_file_bounds_output_files(spark, tmp_path, src):
+    import glob
+    out = str(tmp_path / "out")
+    dq_io.run_job(spark, src, out, with_models=False, files_per_chunk=100,
+                  output_partitions=1, max_records_per_file=50)
+    files = glob.glob(f"{out}/turns/chunk=*/part-*.parquet")
+    # 200 rows / <=50 per file -> at least 4 files even at 1 partition
+    assert len(files) >= 4
+    assert dq_io.read_output(spark, out).count() == 200
