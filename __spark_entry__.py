@@ -367,6 +367,26 @@ def _q_text_langid(spark, sf_dir):
     )
 
 
+def _stream_source(spark, sf_dir) -> str:
+    """Materialize (once per sf) the transcript parquet dir both streaming
+    gates read. Event times are spread ×37 so the gates exercise MANY hour
+    windows (the raw schedule spans only ~sf·5000 seconds); the oracles
+    mirror the spread. The tag versions the derivation — bump it when the
+    schedule changes or stale /tmp caches serve old data."""
+    import hashlib
+    import os as _os
+
+    tag = hashlib.md5(f"{sf_dir}|spread37".encode()).hexdigest()[:8]
+    src = f"/tmp/dqcs_gate_stream/{tag}"
+    if not _os.path.exists(_os.path.join(src, "_SUCCESS")):
+        t = transcripts.load(spark, sf_dir)
+        spread = F.timestamp_seconds(
+            (F.unix_timestamp("ts") - 1700000000) * 37 + 1700000000)
+        t = t.withColumn("ts", F.when(F.col("ts").isNotNull(), spread))
+        t.write.mode("overwrite").parquet(src)
+    return src
+
+
 def _q_stream_window_counts(spark, sf_dir):
     """Structured Streaming under the ORACLE gate: file-stream source →
     shared labeling plan (heuristic-only, dup detection deferred like any
@@ -374,24 +394,11 @@ def _q_stream_window_counts(spark, sf_dir):
     completion with availableNow. The DuckDB oracle is the equivalent
     BATCH aggregation — exactly the replayability property streaming
     correctness rests on."""
-    import hashlib
-    import os as _os
     import uuid as _uuid
 
     from data_quality_check_spark.streaming import stream as dqs
 
-    # tag versions the derivation: bump when the source schedule changes
-    tag = hashlib.md5(f"{sf_dir}|spread37".encode()).hexdigest()[:8]
-    src = f"/tmp/dqcs_gate_stream/{tag}"
-    if not _os.path.exists(_os.path.join(src, "_SUCCESS")):
-        t = transcripts.load(spark, sf_dir)
-        # spread event times ×37 so the gate exercises MANY hour windows
-        # (the raw schedule spans only ~sf·5000 seconds); oracle mirrors
-        spread = F.timestamp_seconds(
-            (F.unix_timestamp("ts") - 1700000000) * 37 + 1700000000)
-        t = t.withColumn("ts", F.when(F.col("ts").isNotNull(), spread))
-        t.write.mode("overwrite").parquet(src)
-    st = dqs.read_transcript_stream(spark, src)
+    st = dqs.read_transcript_stream(spark, _stream_source(spark, sf_dir))
     lab = dqs.label_stream(st, with_models=False)
     agg = dqs.windowed_drop_counts(lab, window="1 hour",
                                    watermark="2 hours")
@@ -409,17 +416,11 @@ def _q_stream_conv_stats(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState) under
     the oracle: per-conversation running aggregates, run to completion
     with availableNow — the final state must equal the batch groupBy."""
-    import hashlib
-    import os as _os
     import uuid as _uuid
 
     from data_quality_check_spark.streaming import stream as dqs
 
-    tag = hashlib.md5(f"{sf_dir}|spread37".encode()).hexdigest()[:8]
-    src = f"/tmp/dqcs_gate_stream/{tag}"
-    if not _os.path.exists(_os.path.join(src, "_SUCCESS")):
-        _q_stream_window_counts(spark, sf_dir)  # materializes the source
-    st = dqs.read_transcript_stream(spark, src)
+    st = dqs.read_transcript_stream(spark, _stream_source(spark, sf_dir))
     lab = dqs.label_stream(st, with_models=False)
     stats = dqs.conversation_stats_stream(lab)
     name = f"gate_convstats_{_uuid.uuid4().hex[:8]}"
