@@ -238,6 +238,19 @@ def _q_dedup_exact(spark, sf_dir):
 NGRAM_MAX_SHINGLE_DF = 100
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Train/eval decontamination: docs split 80/20 by doc_id % 5, eval
+    docs sharing ≥3 word-trigram shingles with a training doc are flagged.
+    Uses the dedup fixture corpus so injected duplicates guarantee
+    cross-split hits at every sf."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    fx = spark.sql(DEDUP_FIXTURE_SQL)
+    train = fx.filter(F.col("doc_id") % 5 != 0)
+    ev = fx.filter(F.col("doc_id") % 5 == 0)
+    return dedup.cross_contamination(train, ev, n=3, min_shared=3,
+                                     max_shingle_df=NGRAM_MAX_SHINGLE_DF)
+
+
 def _q_dedup_ngram_jaccard(spark, sf_dir):
     pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3,
                                       threshold=0.5,
@@ -529,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_ruleset_diff": _q_qf_ruleset_diff,
         "json_validate": _q_json_validate,
         "dedup_exact": _q_dedup_exact,
+        "decontaminate": _q_decontaminate,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_groups": _q_dedup_groups,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -673,6 +687,35 @@ SELECT md5({norm}) AS fingerprint,
   count(*) AS n_docs, min(doc_id) AS representative
 FROM fx
 GROUP BY 1 HAVING count(*) > 1
+"""
+
+    decontaminate = f"""
+WITH fx AS ({DEDUP_FIXTURE_SQL}),
+words AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[ \t\n\r]+'),
+                w -> w <> '') AS ws
+  FROM fx
+),
+sh0 AS (
+  SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM (
+    SELECT doc_id,
+      CASE WHEN len(ws) >= 3 THEN
+        list_transform(range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      ELSE [array_to_string(ws, ' ')] END AS shingles
+    FROM words
+  )
+),
+tr0 AS (SELECT * FROM sh0 WHERE doc_id % 5 <> 0),
+hot AS (SELECT shingle FROM tr0 GROUP BY shingle
+        HAVING count(*) > {NGRAM_MAX_SHINGLE_DF}),
+tr AS (SELECT tr0.* FROM tr0 ANTI JOIN hot USING (shingle)),
+ev AS (SELECT * FROM sh0 WHERE doc_id % 5 = 0)
+SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc,
+  count(*) AS n_shared
+FROM tr JOIN ev USING (shingle)
+GROUP BY 1, 2 HAVING count(*) >= 3
 """
 
     ngram_pairs_ctes = """words AS (
@@ -932,6 +975,7 @@ GROUP BY 1, 2
         "qf_latency": qf_latency,
         "qf_ruleset_diff": qf_ruleset_diff,
         "dedup_exact": dedup_exact,
+        "decontaminate": decontaminate,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_groups": dedup_groups,
         "dedup_embedding": dedup_embedding,

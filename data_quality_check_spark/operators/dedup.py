@@ -59,6 +59,52 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # word n-gram Jaccard (exact near-dup)
 # ---------------------------------------------------------------------------
 
+def shingle_set(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct (doc_id, shingle) word-n-gram set — the shared front end
+    of Jaccard dedup and cross-corpus contamination. Short docs (< n
+    words) contribute their whole text as one shingle."""
+    words = F.filter(F.split(F.lower(F.col("text")), "[ \t\n\r]+"),
+                     lambda w: w != F.lit(""))
+    nw = F.size(words)
+    shingles = F.when(nw >= n, F.transform(
+        F.sequence(F.lit(0), nw - n),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )).otherwise(F.array(F.array_join(words, " ")))
+    return docs.select("doc_id", F.explode(shingles).alias("shingle")) \
+        .distinct()
+
+
+def cross_contamination(train_docs: DataFrame, eval_docs: DataFrame,
+                        n: int = 3, min_shared: int = 1,
+                        max_shingle_df: int | None = None) -> DataFrame:
+    """Train/eval DECONTAMINATION sweep: (train_doc, eval_doc, n_shared)
+    pairs sharing ≥ min_shared word-n-gram shingles — the cross-corpus
+    variant of the co-shingle join (an eval document whose shingles leak
+    into training data inflates benchmarks; these pairs are the drop/audit
+    set).
+
+    Plan: both corpora shingle narrowly; the join keys on shingle, so the
+    shuffle carries (doc_id, shingle) only. `max_shingle_df` caps hot
+    shingles by their TRAIN-side document frequency (the side that scales)
+    before the join, same tradeoff as ngram_jaccard_pairs.
+    """
+    tr = shingle_set(train_docs, n)
+    if max_shingle_df is not None:
+        hot = (tr.groupBy("shingle")
+               .agg(F.count(F.lit(1)).alias("df"))
+               .filter(F.col("df") > max_shingle_df)
+               .select("shingle"))
+        tr = tr.join(F.broadcast(hot), "shingle", "left_anti")
+    ev = shingle_set(eval_docs, n)
+    return (
+        tr.alias("t").join(ev.alias("e"), "shingle")
+        .groupBy(F.col("t.doc_id").alias("train_doc"),
+                 F.col("e.doc_id").alias("eval_doc"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                         threshold: float = 0.8,
                         max_shingle_df: int | None = None) -> DataFrame:
@@ -78,21 +124,11 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     oracle mirrors the cap), trading exactness on boilerplate-only overlap
     for a bounded join. None = exact (no cap).
     """
-    words = F.filter(F.split(F.lower(F.col("text")), "[ \t\n\r]+"),
-                     lambda w: w != F.lit(""))
-    nw = F.size(words)
-    shingles = F.when(nw >= n, F.transform(
-        F.sequence(F.lit(0), nw - n),
-        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
-    )).otherwise(F.array(F.array_join(words, " ")))
     # The shingle set feeds up to FOUR consumers (df-cap count, doc sizes,
     # both join sides); the split+explode HOF work is the expensive part
     # (interpreted lambdas — CLAUDE.md perf notes), so materialize the
     # distinct set ONCE before anything fans out.
-    sh = (
-        docs.select("doc_id", F.explode(shingles).alias("shingle"))
-        .distinct()
-    ).localCheckpoint()
+    sh = shingle_set(docs, n).localCheckpoint()
     if max_shingle_df is not None:
         # hot-shingle posting-list cap: count per shingle (map-side partial
         # agg over the materialized set), broadcast the tiny hot set,

@@ -135,3 +135,33 @@ def test_resolve_groups_raises_on_exhaustion(spark):
         [(i, i + 1) for i in range(32)], "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.resolve_groups(pairs, max_iters=2)
+
+
+def test_cross_contamination_finds_leaked_eval_docs(spark):
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated training material about databases")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over something else"),   # leaked
+         (101, "pristine evaluation text with no overlap at all")],
+        "doc_id long, text string")
+    got = {(r["train_doc"], r["eval_doc"]): r["n_shared"] for r in
+           dedup.cross_contamination(train, ev, n=3, min_shared=2)
+           .collect()}
+    assert (1, 100) in got and got[(1, 100)] >= 2
+    assert not any(e == 101 for _, e in got)
+
+
+def test_cross_contamination_hot_shingle_cap(spark):
+    boiler = "click here subscribe now please"
+    train = spark.createDataFrame(
+        [(i, f"{boiler} body {i}") for i in range(20)],
+        "doc_id long, text string")
+    ev = spark.createDataFrame([(100, boiler)], "doc_id long, text string")
+    capped = dedup.cross_contamination(train, ev, n=3, min_shared=1,
+                                       max_shingle_df=5).collect()
+    assert capped == []  # boilerplate-only overlap suppressed
+    uncapped = dedup.cross_contamination(train, ev, n=3,
+                                         min_shared=1).collect()
+    assert len(uncapped) == 20
