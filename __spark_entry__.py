@@ -303,6 +303,12 @@ def _q_dedup_embedding_groups(spark, sf_dir):
     return groups.select(F.col("doc_id").alias("vec_id"), "group_id")
 
 
+def _q_emb_quantize(spark, sf_dir):
+    """int8 scalar quantization of the embedding corpus (4x ANN memory
+    cut) — fixed-order float64 arithmetic, value-checked against DuckDB."""
+    return similarity.quantize_embeddings(_emb(spark, sf_dir))
+
+
 def _q_ann_top1(spark, sf_dir):
     """Exact top-1 via broadcast-corpus BLAS matmul (brute_force_topk);
     decision-equal to the O(N^2) declarative join and the DuckDB oracle."""
@@ -549,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_groups": _q_dedup_embedding_groups,
+        "emb_quantize": _q_emb_quantize,
         "ann_top1": _q_ann_top1,
         "ann_lsh_top1": _q_ann_lsh_top1,
         "ann_ivf_top1": _q_ann_ivf_top1,
@@ -980,6 +987,7 @@ GROUP BY 1, 2
         "dedup_groups": dedup_groups,
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_groups": dedup_embedding_groups,
+        "emb_quantize": similarity.QUANTIZE_SQL,
         "ann_top1": ann_top1,
         "text_tokens": text_tokens,
         "text_quality": text_quality,

@@ -409,3 +409,39 @@ def lsh_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
          .orderBy(F.col("cos").desc(), F.col("neighbor_id")))
     return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def quantize_embeddings(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 scalar quantization: per-vector scale = max |x|,
+    q_i = floor(x_i / scale * 127). Cuts ANN corpus memory 4x (the
+    standard first step before IVF/LSH posting lists at 10^9+ vectors);
+    dequantize as q_i * scale / 127 with ≤ scale/127 absolute error.
+
+    Pure narrow expressions (JVM HOFs over the array), float64 math in a
+    fixed evaluation order — engine-reproducible, so the gate twin checks
+    it value-for-value. Zero vectors quantize to all-zero with scale 0.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.when(scale > 0, F.transform(
+        v, lambda x: F.floor(x / scale * 127).cast("int")
+    )).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return emb.select(
+        F.col(id_col),
+        F.floor(scale * 1e6).cast("long").alias("scale_u"),
+        F.array_join(q, ",").alias("q_csv"),
+    )
+
+
+QUANTIZE_SQL = """
+SELECT vec_id,
+  CAST(floor(s * 1e6) AS BIGINT) AS scale_u,
+  array_to_string(CASE WHEN s > 0
+    THEN list_transform(v, x -> CAST(floor(x / s * 127) AS INT))
+    ELSE list_transform(v, x -> 0) END, ',') AS q_csv
+FROM (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+)
+"""

@@ -148,3 +148,41 @@ def test_hot_bucket_guard_bounds_adversarial_input(spark):
                similarity.ivf_topk(df, k=1, max_group=64).collect()}
     assert sum(1 for i in range(3000)
                if got_ivf.get(i) is not None and got_ivf[i] < 3000) >= 2900
+
+
+def test_zero_norm_embeddings_never_match(spark):
+    """A zero vector must never pass a positive cosine threshold or win a
+    top-1 slot via NaN (NaN compares greater than any double in SQL)."""
+    rows = [(1, [0.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0]),
+            (3, [1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             similarity.pairs_above_fast(df, threshold=0.5).collect()}
+    assert pairs == {(2, 3)}
+    top = {r["vec_id"]: r["neighbor_id"] for r in
+           similarity.brute_force_topk(df, k=1).collect()}
+    assert top[2] == 3 and top[3] == 2
+    assert top.get(1) in (2, 3)  # zero vec gets cos 0.0 everywhere → id tie
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    vecs = rng.standard_normal((50, 16)).astype(np.float32)
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    rows.append((99, [0.0] * 16))  # zero vector → all-zero codes
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in
+           similarity.quantize_embeddings(df).collect()}
+    assert out[99]["scale_u"] == 0
+    assert set(out[99]["q_csv"].split(",")) == {"0"}
+    for i, v in enumerate(vecs):
+        scale = out[i]["scale_u"] / 1e6
+        q = np.array([int(x) for x in out[i]["q_csv"].split(",")])
+        assert q.min() >= -128 and q.max() <= 127
+        recon = q * (np.abs(v.astype(np.float64)).max()) / 127
+        # floor quantization: one-sided error within one step
+        assert np.abs(recon - v).max() <= np.abs(v).max() / 127 + 1e-9
+        assert abs(scale - np.abs(v.astype(np.float64)).max()) < 2e-6
