@@ -90,6 +90,9 @@ def cross_contamination(train_docs: DataFrame, eval_docs: DataFrame,
     """
     tr = shingle_set(train_docs, n)
     if max_shingle_df is not None:
+        # two consumers of the train shingles (df count + join) —
+        # materialize once, same as ngram_jaccard_pairs
+        tr = tr.localCheckpoint()
         hot = (tr.groupBy("shingle")
                .agg(F.count(F.lit(1)).alias("df"))
                .filter(F.col("df") > max_shingle_df)
