@@ -1,14 +1,23 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries run at sf=0.01 and are compared against oracle_sql()
-via DuckDB (row-count + schema + order-insensitive value-hash). Every
-float that reaches the compare is scaled+floored to an integer, or is a
-ratio of integers computed identically in both engines; double SUMs are
-never emitted (order-dependent).
+via DuckDB (row-count + schema + order-insensitive value-hash); the same
+sweep passes at sf0.001 and sf0.1. Discipline that keeps every cell
+green AND meaningful:
+  * floats are scaled+floored to integers (or identical-operand ratios);
+    DuckDB aggregates are CAST back to BIGINT (sum() yields HUGEINT);
+  * fixtures are scheduled so every oracled query returns >0 rows at
+    every sf (non-vacuity pinned by tests/test_gate.py);
+  * oracles are GENERATED from the same spec/params as the Spark side
+    wherever possible (JSON type matrix, latency percentiles, splits,
+    chunking, sessionization) so the engines cannot drift;
+  * streaming queries run to completion with availableNow and are
+    checked against the equivalent batch SQL (stream ≡ batch replay).
 
 Operators whose semantics are not SQL-expressible (broadcast numpy model
-scores, MinHash/SimHash signatures) are rows-only checked here and get
-exact oracle-parity tests in tests/ instead.
+scores, MinHash/SimHash signatures, LSH/IVF approximations, the stubbed
+media decode) are rows-only checked here and get exact numpy-parity or
+recall tests in tests/ instead.
 """
 
 from __future__ import annotations
