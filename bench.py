@@ -106,9 +106,14 @@ def gate_queries(spark) -> dict[str, float]:
     qs = entry.queries()
     for name, fn in qs.items():
         t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        try:
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            times[name] = round(time.time() - t0, 3)
+        except Exception as e:  # fault isolation: one bad query must not
+            # cost the whole per-round bench record
+            print(f"bench: query {name} FAILED: {e}", file=sys.stderr)
+            times[name] = -1.0
     return times
 
 
