@@ -277,6 +277,18 @@ def _q_dedup_groups(spark, sf_dir):
     return dedup.resolve_groups(pairs)
 
 
+def _q_dedup_apply(spark, sf_dir):
+    """End-to-end dedup ACTION: near-dup pairs → connected components →
+    materialized deduplicated corpus (representatives + untouched docs).
+    The corpus never shuffles; the drop set broadcasts."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    fx = spark.sql(DEDUP_FIXTURE_SQL)
+    pairs = dedup.ngram_jaccard_pairs(fx, n=3, threshold=0.5,
+                                      max_shingle_df=NGRAM_MAX_SHINGLE_DF)
+    groups = dedup.resolve_groups(pairs)
+    return dedup.apply_dedup(fx, groups).select("doc_id")
+
+
 def _q_dedup_minhash(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
 
@@ -560,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_groups": _q_dedup_groups,
+        "dedup_apply": _q_dedup_apply,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
@@ -734,11 +747,11 @@ FROM tr JOIN ev USING (shingle)
 GROUP BY 1, 2 HAVING count(*) >= 3
 """
 
-    ngram_pairs_ctes = """words AS (
+    ngram_pairs_template = """words AS (
   SELECT doc_id,
     list_filter(string_split_regex(lower(text), '[ \t\n\r]+'),
                 w -> w <> '') AS ws
-  FROM documents
+  FROM {src}
 ),
 sh0 AS (
   SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM (
@@ -766,7 +779,9 @@ jac AS (
   FROM shared
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b
-)""".format(max_df=NGRAM_MAX_SHINGLE_DF)
+)"""
+    ngram_pairs_ctes = ngram_pairs_template.format(
+        max_df=NGRAM_MAX_SHINGLE_DF, src="documents")
 
     dedup_ngram_jaccard = f"""
 WITH {ngram_pairs_ctes}
@@ -788,6 +803,26 @@ reach(id, r) AS (
   SELECT e.s, reach.r FROM edges e, reach WHERE e.d = reach.id
 )
 SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id
+"""
+
+    fx_pairs_ctes = ngram_pairs_template.format(
+        max_df=NGRAM_MAX_SHINGLE_DF, src="fx")
+    dedup_apply = f"""
+WITH RECURSIVE fx AS ({DEDUP_FIXTURE_SQL}),
+{fx_pairs_ctes},
+pr AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pr
+  UNION SELECT doc_b, doc_a FROM pr
+),
+reach(id, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.s, reach.r FROM edges e, reach WHERE e.d = reach.id
+),
+grp AS (SELECT id, min(r) AS g FROM reach GROUP BY id),
+drops AS (SELECT id FROM grp WHERE id <> g)
+SELECT doc_id FROM fx ANTI JOIN drops ON fx.doc_id = drops.id
 """
 
     dedup_embedding = """
@@ -994,6 +1029,7 @@ GROUP BY 1, 2
         "decontaminate": decontaminate,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_groups": dedup_groups,
+        "dedup_apply": dedup_apply,
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_groups": dedup_embedding_groups,
         "emb_quantize": similarity.QUANTIZE_SQL,

@@ -417,3 +417,18 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .agg(F.min("hamming").alias("hamming"))
     )
     return pairs
+
+
+def apply_dedup(docs: DataFrame, groups: DataFrame,
+                id_col: str = "doc_id") -> DataFrame:
+    """Materialize the DEDUPLICATED corpus: keep every document that is
+    either untouched by the group table or its group's canonical
+    representative (group_id == its own id, resolve_groups' convention).
+
+    The drop set is tiny relative to the corpus (only grouped non-reps),
+    so it broadcasts: the corpus itself never shuffles — dedup application
+    costs one broadcast anti-join at any scale.
+    """
+    drops = (groups.filter(F.col(id_col) != F.col("group_id"))
+             .select(id_col))
+    return docs.join(F.broadcast(drops), id_col, "left_anti")

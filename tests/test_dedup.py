@@ -165,3 +165,12 @@ def test_cross_contamination_hot_shingle_cap(spark):
     uncapped = dedup.cross_contamination(train, ev, n=3,
                                          min_shared=1).collect()
     assert len(uncapped) == 20
+
+
+def test_apply_dedup_keeps_representatives(spark, docs_df):
+    pairs = dedup.ngram_jaccard_pairs(docs_df, n=3, threshold=0.5)
+    groups = dedup.resolve_groups(pairs)
+    kept = {r["doc_id"] for r in
+            dedup.apply_dedup(docs_df, groups).collect()}
+    # at 0.5: {0,1,2} one group (2 joins via jaccard 0.75), {3,4} another
+    assert kept == {0, 3, 5}
