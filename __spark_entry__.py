@@ -388,6 +388,17 @@ def _q_text_chunks(spark, sf_dir):
                                      overlap=16)
 
 
+DOC_COLUMNS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _q_profile_documents(spark, sf_dir):
+    """Per-column data-quality report (nulls/distincts/ranges) — ONE
+    aggregation pass over the table, melted to canonical shape."""
+    from data_quality_check_spark.operators import profile
+
+    return profile.profile_table(_docs(spark, sf_dir), DOC_COLUMNS)
+
+
 def _q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary builder: 100 most frequent tokens via map-side
     combine + TakeOrderedAndProject (no global sort)."""
@@ -588,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": _q_sample_split,
         "vocab_topk": _q_vocab_topk,
         "lang_stats": _q_lang_stats,
+        "profile_documents": _q_profile_documents,
         "text_langid": _q_text_langid,
         "stream_window_counts": _q_stream_window_counts,
         "stream_conv_stats": _q_stream_conv_stats,
@@ -905,6 +917,7 @@ FROM documents
 SELECT doc_id, md5({norm}) AS fingerprint FROM documents
 """
 
+    from data_quality_check_spark.operators import profile as profile_mod
     from data_quality_check_spark.operators import sampling
     from data_quality_check_spark.operators import sessions as sessions_mod
 
@@ -1041,6 +1054,8 @@ GROUP BY 1, 2
         "sample_split": sample_split,
         "vocab_topk": vocab_topk,
         "lang_stats": lang_stats,
+        "profile_documents": profile_mod.profile_table_sql(
+            "documents", DOC_COLUMNS),
         "stream_window_counts": stream_window_counts,
         "stream_conv_stats": stream_conv_stats,
         "events_window": events_window,

@@ -151,3 +151,22 @@ def test_sessionize_boundary_gap_is_same_session(spark):
         rows, "event_id long, user_id long, ts timestamp, value double")
     out = sessions.sessionize(df, gap_s=1800).collect()
     assert len(out) == 1 and out[0]["n_events"] == 2  # gap == 1800 merges
+
+
+def test_profile_table_one_pass_and_exact(spark):
+    from data_quality_check_spark.operators import profile
+
+    rows = [(1, "a", None), (2, "a", 5.0), (3, None, 5.0), (4, "b", 7.0)]
+    df = spark.createDataFrame(rows, "id long, s string, v double")
+    got = {r["column"]: r for r in profile.profile_table(df).collect()}
+    assert got["id"]["n"] == 4 and got["id"]["n_null"] == 0
+    assert got["s"]["n_null"] == 1 and got["s"]["n_distinct"] == 2
+    assert got["v"]["n_distinct"] == 2
+    assert got["v"]["min_s"] == "5.0" and got["v"]["max_s"] == "7.0"
+    # single aggregation pass: exactly one Aggregate subtree feeds the melt
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        profile.profile_table(df).explain()
+    assert buf.getvalue().count("Scan ExistingRDD") <= 1
