@@ -399,6 +399,17 @@ def _q_profile_documents(spark, sf_dir):
     return profile.profile_table(_docs(spark, sf_dir), DOC_COLUMNS)
 
 
+def _q_corpus_drift(spark, sf_dir):
+    """Snapshot drift monitoring: per-language count + per-mille share
+    delta between two corpus snapshots (here: doc_id parity halves)."""
+    from data_quality_check_spark.operators import profile
+
+    d = _docs(spark, sf_dir)
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    return profile.corpus_drift(old, new, "lang")
+
+
 def _q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary builder: 100 most frequent tokens via map-side
     combine + TakeOrderedAndProject (no global sort)."""
@@ -600,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "lang_stats": _q_lang_stats,
         "profile_documents": _q_profile_documents,
+        "corpus_drift": _q_corpus_drift,
         "text_langid": _q_text_langid,
         "stream_window_counts": _q_stream_window_counts,
         "stream_conv_stats": _q_stream_conv_stats,
@@ -1056,6 +1068,9 @@ GROUP BY 1, 2
         "lang_stats": lang_stats,
         "profile_documents": profile_mod.profile_table_sql(
             "documents", DOC_COLUMNS),
+        "corpus_drift": profile_mod.corpus_drift_sql(
+            "SELECT * FROM documents WHERE doc_id % 2 = 0",
+            "SELECT * FROM documents WHERE doc_id % 2 = 1", "lang"),
         "stream_window_counts": stream_window_counts,
         "stream_conv_stats": stream_conv_stats,
         "events_window": events_window,

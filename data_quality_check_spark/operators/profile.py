@@ -61,3 +61,57 @@ SELECT '{c}' AS column, count(*) AS n,
   CAST(max({c}) AS VARCHAR) AS max_s
 FROM {table}""")
     return "\nUNION ALL\n".join(parts)
+
+
+def corpus_drift(old: DataFrame, new: DataFrame,
+                 dim: str) -> DataFrame:
+    """Distribution drift between two corpus snapshots along one
+    dimension: per value, counts in each snapshot and the per-mille share
+    change — the monitoring primitive behind 'did the ingest mix shift'.
+    Two small aggregates (map-side combined) and one outer join on the
+    dimension value; share math in integers so both engines agree exactly.
+    """
+    def shares(df, n_col):
+        agg = df.groupBy(dim).agg(F.count(F.lit(1)).alias(n_col))
+        total = F.sum(n_col).over(Window.partitionBy())
+        return agg.withColumn(f"{n_col}_pm",
+                              F.floor(F.col(n_col) * 1000 / total)
+                              .cast("long"))
+
+    from pyspark.sql import Window
+
+    o = shares(old, "n_old")
+    n = shares(new, "n_new")
+    return (
+        o.join(n, dim, "full_outer")
+        .select(
+            dim,
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            (F.coalesce("n_new_pm", F.lit(0))
+             - F.coalesce("n_old_pm", F.lit(0))).alias("share_delta_pm"),
+        )
+    )
+
+
+def corpus_drift_sql(old_sql: str, new_sql: str, dim: str) -> str:
+    """DuckDB twin over two snapshot SELECTs, same integer share math."""
+    return f"""
+WITH o AS (
+  SELECT {dim}, count(*) AS n_old,
+    CAST(floor(count(*) * 1000 / sum(count(*)) OVER ()) AS BIGINT)
+      AS n_old_pm
+  FROM ({old_sql}) GROUP BY {dim}
+),
+n AS (
+  SELECT {dim}, count(*) AS n_new,
+    CAST(floor(count(*) * 1000 / sum(count(*)) OVER ()) AS BIGINT)
+      AS n_new_pm
+  FROM ({new_sql}) GROUP BY {dim}
+)
+SELECT coalesce(o.{dim}, n.{dim}) AS {dim},
+  coalesce(n_old, 0) AS n_old,
+  coalesce(n_new, 0) AS n_new,
+  coalesce(n_new_pm, 0) - coalesce(n_old_pm, 0) AS share_delta_pm
+FROM o FULL OUTER JOIN n ON o.{dim} = n.{dim}
+"""

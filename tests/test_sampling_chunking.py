@@ -170,3 +170,19 @@ def test_profile_table_one_pass_and_exact(spark):
     with contextlib.redirect_stdout(buf):
         profile.profile_table(df).explain()
     assert buf.getvalue().count("Scan ExistingRDD") <= 1
+
+
+def test_corpus_drift_detects_mix_shift(spark):
+    from data_quality_check_spark.operators import profile
+
+    old = spark.createDataFrame(
+        [(i, "en" if i < 80 else "de") for i in range(100)],
+        "doc_id long, lang string")
+    new = spark.createDataFrame(
+        [(i, "en" if i < 50 else "fr") for i in range(100)],
+        "doc_id long, lang string")
+    got = {r["lang"]: r for r in
+           profile.corpus_drift(old, new, "lang").collect()}
+    assert got["en"]["share_delta_pm"] == -300      # 80% → 50%
+    assert got["de"]["n_new"] == 0                  # vanished value
+    assert got["fr"]["n_old"] == 0 and got["fr"]["share_delta_pm"] == 500
