@@ -232,37 +232,25 @@ def kmeans_np(mat: np.ndarray, k: int, iters: int = 10,
     return cent
 
 
-def ivf_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
-             vec_col: str = "embedding", n_cells: int | None = None,
-             nprobe: int = 4, sample: int = 100_000,
-             max_group: int = MAX_GROUP) -> DataFrame:
-    """IVF approximate top-k: k-means coarse quantizer (trained on a driver
-    sample, broadcast), every vector posted to its own cell, every QUERY
-    probed against its `nprobe` nearest cells, exact cosine re-rank inside.
+from dataclasses import dataclass
 
-    100 TB shape: the corpus never moves except keyed by cell id; work is
-    quadratic only within (cell × probe) groups; centroids are a tiny
-    broadcast. n_cells defaults to ~sqrt(N) (classic IVF sizing).
-    """
-    spark = emb.sparkSession
-    n_total = emb.count()
-    if n_cells is None:
-        n_cells = max(4, int(np.sqrt(n_total)))
-    nprobe = min(nprobe, n_cells)
-    # deterministic sample: order by a hash of the id, not bare limit()
-    # (limit without ordering varies with partition layout → the quantizer,
-    # hence cell assignments and neighbors, would differ run to run).
-    # The hash also de-correlates the sample from ingest order; rows are
-    # then re-sorted by id so the training matrix itself is canonical.
-    pdf = (emb.select(id_col, vec_col)
-           .withColumn("_h", F.xxhash64(F.col(id_col)))
-           .orderBy("_h").limit(sample)
-           .orderBy(id_col).select(vec_col)).toPandas()
-    mat = _norm_rows(np.asarray(pdf[vec_col].tolist(), dtype=np.float64))
-    cent = kmeans_np(mat, n_cells)
-    bc = spark.sparkContext.broadcast(cent)
 
-    def post(batches, probes: int):
+@dataclass
+class IvfIndex:
+    """A built IVF index: broadcast centroids + the PERSISTED corpus
+    posting table (id, cell, vec). Build once offline, query many times —
+    queries never re-train the quantizer or re-post the corpus."""
+
+    centroids_bc: object
+    posted: DataFrame
+    id_col: str
+    vec_col: str
+    n_cells: int
+
+
+def _post_fn(bc, id_col: str, vec_col: str, probes: int):
+    """mapInPandas fn: assign each vector to its `probes` nearest cells."""
+    def post(batches):
         c = bc.value
         for p in batches:
             v = np.asarray(p[vec_col].tolist(), dtype=np.float64)
@@ -270,27 +258,58 @@ def ivf_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
             sims = vn @ c.T
             cells = np.argsort(-sims, axis=1, kind="stable")[:, :probes]
             frames = []
-            for j in range(probes):
+            for j in range(min(probes, cells.shape[1])):
                 frames.append(pd.DataFrame({
                     id_col: p[id_col].to_numpy(),
                     "cell": cells[:, j].astype(np.int64),
                     vec_col: p[vec_col],
                 }))
             yield pd.concat(frames, ignore_index=True)
+    return post
 
-    schema = f"{id_col} long, cell long, probe int, {vec_col} array<float>"
-    corpus = emb.select(id_col, vec_col).mapInPandas(
-        lambda it: post(it, 1), schema=schema.replace(", probe int", "")) \
-        .withColumn("probe", F.lit(0))
-    queries = emb.select(id_col, vec_col).mapInPandas(
-        lambda it: post(it, nprobe),
-        schema=schema.replace(", probe int", "")) \
-        .withColumn("probe", F.lit(1))
-    posts = corpus.unionByName(queries)
+
+def ivf_build(emb: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding", n_cells: int | None = None,
+              sample: int = 100_000) -> IvfIndex:
+    """Train the coarse quantizer and post the corpus into cells.
+
+    100 TB shape: the quantizer trains on a bounded deterministic sample
+    (hash-ordered limit — bare limit() varies with partition layout and
+    would make the index irreproducible), centroids are a tiny broadcast,
+    and the corpus moves exactly once, keyed by cell id, into a persisted
+    posting table. n_cells defaults to ~sqrt(N) (classic IVF sizing).
+    """
+    spark = emb.sparkSession
+    n_total = emb.count()
+    if n_cells is None:
+        n_cells = max(4, int(np.sqrt(n_total)))
+    pdf = (emb.select(id_col, vec_col)
+           .withColumn("_h", F.xxhash64(F.col(id_col)))
+           .orderBy("_h").limit(sample)
+           .orderBy(id_col).select(vec_col)).toPandas()
+    mat = _norm_rows(np.asarray(pdf[vec_col].tolist(), dtype=np.float64))
+    cent = kmeans_np(mat, n_cells)
+    bc = spark.sparkContext.broadcast(cent)
+    schema = f"{id_col} long, cell long, {vec_col} array<float>"
+    posted = emb.select(id_col, vec_col).mapInPandas(
+        _post_fn(bc, id_col, vec_col, 1), schema=schema).persist()
+    return IvfIndex(bc, posted, id_col, vec_col, n_cells)
+
+
+def ivf_query(index: IvfIndex, queries: DataFrame, k: int = 1,
+              nprobe: int = 4, max_group: int = MAX_GROUP) -> DataFrame:
+    """Approximate top-k against a built index: each query probes its
+    `nprobe` nearest cells, exact cosine re-rank inside (cell × probe)
+    groups, member pool capped so a hot cell stays linear."""
+    id_col, vec_col = index.id_col, index.vec_col
+    nprobe = min(nprobe, index.n_cells)
+    schema = f"{id_col} long, cell long, {vec_col} array<float>"
+    probed = queries.select(id_col, vec_col).mapInPandas(
+        _post_fn(index.centroids_bc, id_col, vec_col, nprobe),
+        schema=schema).withColumn("probe", F.lit(1))
+    posts = index.posted.withColumn("probe", F.lit(0)).unionByName(probed)
 
     def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
-        """Probed queries × cell members via one matmul per cell; member
-        pool capped so a hot cell stays linear."""
         members = pdf[pdf["probe"] == 0]
         probes = pdf[pdf["probe"] == 1]
         if not len(members) or not len(probes):
@@ -319,6 +338,16 @@ def ivf_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
          .orderBy(F.col("cos").desc(), F.col("neighbor_id")))
     return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def ivf_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
+             vec_col: str = "embedding", n_cells: int | None = None,
+             nprobe: int = 4, sample: int = 100_000,
+             max_group: int = MAX_GROUP) -> DataFrame:
+    """One-shot IVF self-query: build the index over `emb` and query it
+    with the same rows (the gate/bench form of ivf_build + ivf_query)."""
+    index = ivf_build(emb, id_col, vec_col, n_cells=n_cells, sample=sample)
+    return ivf_query(index, emb, k=k, nprobe=nprobe, max_group=max_group)
 
 
 N_TABLES = 8

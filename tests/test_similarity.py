@@ -186,3 +186,21 @@ def test_quantize_roundtrip_error_bound(spark):
         # floor quantization: one-sided error within one step
         assert np.abs(recon - v).max() <= np.abs(v).max() / 127 + 1e-9
         assert abs(scale - np.abs(v.astype(np.float64)).max()) < 2e-6
+
+
+def test_ivf_index_build_once_query_many(emb, np_corpus):
+    """The index API: one build serves multiple query sets without
+    retraining the quantizer or re-posting the corpus."""
+    ids, mat = np_corpus
+    expected = _np_top1(ids, mat)
+    index = similarity.ivf_build(emb)
+    full = {r["vec_id"]: r["neighbor_id"] for r in
+            similarity.ivf_query(index, emb, k=1, nprobe=4).collect()}
+    assert sum(1 for q, n in full.items()
+               if expected.get(q) == n) / len(expected) >= 0.6
+    # a SUBSET query set against the same index: results agree per query
+    sub = emb.filter("vec_id % 10 = 0")
+    part = {r["vec_id"]: r["neighbor_id"] for r in
+            similarity.ivf_query(index, sub, k=1, nprobe=4).collect()}
+    assert part == {q: n for q, n in full.items() if q % 10 == 0}
+    index.posted.unpersist()
