@@ -26,9 +26,20 @@ def _key_hex(key: Column) -> Column:
     return F.substring(F.md5(key.cast("string")), 1, HEX_DIGITS)
 
 
-def _thresh_hex(frac: float) -> str:
-    return format(min(_SPACE, max(0, round(frac * _SPACE))),
-                  f"0{HEX_DIGITS}x")
+def _bucket(frac: float) -> int:
+    """Integer bucket threshold in [0, _SPACE]. _SPACE means "keep all":
+    it CANNOT be rendered as a HEX_DIGITS-wide hex string (format() yields
+    the 5-char '10000', which sorts BELOW most 4-char draws — 'ffff' >
+    '10000' lexicographically — so a frac≈1.0 threshold would silently
+    keep only the '0...' prefix bucket, ~6%). Callers must short-circuit
+    bucket >= _SPACE to an always-true arm and bucket <= 0 to always-false
+    instead of comparing hex strings."""
+    return min(_SPACE, max(0, round(frac * _SPACE)))
+
+
+def _thresh_hex(bucket: int) -> str:
+    assert 0 < bucket < _SPACE, "render only comparable thresholds"
+    return format(bucket, f"0{HEX_DIGITS}x")
 
 
 def key_hex_sql(key_expr: str) -> str:
@@ -39,8 +50,14 @@ def key_hex_sql(key_expr: str) -> str:
 def sample_fraction(df: DataFrame, key_col: str, frac: float) -> DataFrame:
     """Keep ≈frac of rows, deterministically by key. A row is kept iff its
     hex draw < thresh — the same rows every run, every engine, every
-    partitioning."""
-    return df.filter(_key_hex(F.col(key_col)) < F.lit(_thresh_hex(frac)))
+    partitioning. frac >= 1 - 1/(2·_SPACE) keeps everything (see _bucket:
+    the full-space threshold has no comparable hex rendering)."""
+    b = _bucket(frac)
+    if b >= _SPACE:
+        return df
+    if b <= 0:
+        return df.filter(F.lit(False))
+    return df.filter(_key_hex(F.col(key_col)) < F.lit(_thresh_hex(b)))
 
 
 def split_column(key_col: str, weights: dict[str, float]) -> Column:
@@ -58,19 +75,36 @@ def split_column(key_col: str, weights: dict[str, float]) -> Column:
     arms = []
     for name in names[:-1]:
         cum += weights[name]
-        arms.append((name, _thresh_hex(cum)))
-    for name, thresh in reversed(arms):
-        expr = F.when(h < F.lit(thresh), F.lit(name)).otherwise(expr)
+        arms.append((name, _bucket(cum)))
+    for name, b in reversed(arms):
+        # cumulative bucket at/above the full space absorbs every row
+        # (hex rendering of _SPACE is uncomparable — see _bucket); at/below
+        # zero it matches nothing
+        if b >= _SPACE:
+            cond = F.lit(True)
+        elif b <= 0:
+            cond = F.lit(False)
+        else:
+            cond = h < F.lit(_thresh_hex(b))
+        expr = F.when(cond, F.lit(name)).otherwise(expr)
     return expr
 
 
 def split_column_sql(key_expr: str, weights: dict[str, float]) -> str:
-    """DuckDB twin of split_column, generated from the same weights."""
+    """DuckDB twin of split_column, generated from the same weights (same
+    bucket short-circuits, same arm order — the engines cannot drift)."""
     names = list(weights)
     h = key_hex_sql(key_expr)
     cum = 0.0
     arms = []
     for name in names[:-1]:
         cum += weights[name]
-        arms.append(f"WHEN {h} < '{_thresh_hex(cum)}' THEN '{name}'")
+        b = _bucket(cum)
+        if b >= _SPACE:
+            cond = "TRUE"
+        elif b <= 0:
+            cond = "FALSE"
+        else:
+            cond = f"{h} < '{_thresh_hex(b)}'"
+        arms.append(f"WHEN {cond} THEN '{name}'")
     return "CASE " + " ".join(arms) + f" ELSE '{names[-1]}' END"

@@ -65,6 +65,47 @@ def test_split_weights_must_sum_to_one():
         sampling.split_column("k", {"a": 0.5, "b": 0.3})
 
 
+def test_sample_fraction_boundary_keeps_everything(spark, docs):
+    """frac at/near 1.0 must keep ALL rows. The threshold bucket 65536
+    renders as the 5-char hex '10000', which sorts BELOW most 4-char
+    draws — before the short-circuit this silently kept ~6% of rows."""
+    n = docs.count()
+    assert sampling.sample_fraction(docs, "doc_id", 1.0).count() == n
+    assert sampling.sample_fraction(docs, "doc_id", 0.9999999).count() == n
+    assert sampling.sample_fraction(docs, "doc_id", 0.0).count() == 0
+
+
+def test_split_column_boundary_first_weight_one(spark, docs):
+    """A first split weight of 1.0 (cumulative bucket == full space) must
+    absorb every row — the split twin of the frac≈1.0 hazard."""
+    w = {"train": 1.0, "unused": 0.0}
+    got = docs.select(
+        sampling.split_column("doc_id", w).alias("split")).collect()
+    assert {r["split"] for r in got} == {"train"}
+
+
+def test_split_column_sql_twin_boundary(spark, docs):
+    """The DuckDB twin takes the SAME short-circuit arms at the boundary
+    (all engine twins previously shared the '10000' bug, so parity tests
+    could not catch it — this pins the fixed behavior cross-engine)."""
+    import duckdb
+
+    for w in ({"a": 1.0, "b": 0.0}, {"a": 0.9999999, "b": 0.0000001},
+              {"a": 0.0, "b": 1.0}, {"a": 0.3, "b": 0.7}):
+        spark_rows = sorted(
+            (r["doc_id"], r["split"]) for r in docs.select(
+                "doc_id",
+                sampling.split_column("doc_id", w).alias("split")).collect())
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"'{SF}/documents.parquet'")
+        duck_rows = sorted(con.execute(
+            f"SELECT doc_id, {sampling.split_column_sql('doc_id', w)} "
+            f"AS split FROM documents").fetchall())
+        con.close()
+        assert spark_rows == duck_rows, f"weights {w} diverged"
+
+
 def test_chunks_reconstruct_document(spark):
     """overlap=0 chunks concatenate back to the whitespace-normalized
     document; every chunk except the last is exactly max_tokens."""
