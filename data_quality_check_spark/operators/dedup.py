@@ -319,9 +319,14 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.7,
                 "band_hashes": list(bh),
             })
 
+    # localCheckpoint, not persist(): the signature table has two consumers
+    # (band explode + candidate join-back), and a bare persist() here would
+    # leak a cached DataFrame per call for the session lifetime — gate and
+    # bench sweeps call this repeatedly. Checkpoint blocks are reclaimed
+    # with the lineage when the returned plan is garbage collected.
     sig_df = docs.select("doc_id", "text").mapInPandas(
         compute, schema=_SIG_SCHEMA
-    ).persist()
+    ).localCheckpoint()
 
     bands_df = sig_df.select(
         "doc_id",
@@ -420,15 +425,27 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 def apply_dedup(docs: DataFrame, groups: DataFrame,
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id",
+                max_broadcast_drops: int | None = 1_000_000) -> DataFrame:
     """Materialize the DEDUPLICATED corpus: keep every document that is
     either untouched by the group table or its group's canonical
     representative (group_id == its own id, resolve_groups' convention).
 
-    The drop set is tiny relative to the corpus (only grouped non-reps),
-    so it broadcasts: the corpus itself never shuffles — dedup application
-    costs one broadcast anti-join at any scale.
+    Join-strategy guard: a broadcast anti-join keeps the corpus from ever
+    shuffling, but the drop set is O(corpus × dup-rate) — at a realistic
+    30-50 % duplication rate over 100 TB it is billions of ids, and an
+    UNCONDITIONAL broadcast is an executor/driver OOM. So the drop set is
+    lazily checkpointed (ids only — counted once, joined once, never
+    recomputed through the CC lineage) and broadcasts only when its count
+    is within `max_broadcast_drops` (default 10^6 ids ≈ 8 MB); above that
+    the anti-join falls back to a plain shuffle on `id_col`, where AQE may
+    still pick a broadcast at runtime if actual bytes allow. Pass None to
+    always take the shuffled path.
     """
     drops = (groups.filter(F.col(id_col) != F.col("group_id"))
              .select(id_col))
-    return docs.join(F.broadcast(drops), id_col, "left_anti")
+    if max_broadcast_drops is not None:
+        drops = drops.localCheckpoint(eager=False)
+        if drops.count() <= max_broadcast_drops:
+            return docs.join(F.broadcast(drops), id_col, "left_anti")
+    return docs.join(drops, id_col, "left_anti")
