@@ -143,7 +143,14 @@ def run_job(
         labeled = pipeline.label_turns(
             df, cfg, with_models=with_models, bc_models=bc_models,
             measure_latency=timed)
+        persisted = None
         if timed:
+            # Persist across the three consumers (latency, turns, metrics):
+            # without it the latency write triggers a SEPARATE scoring pass
+            # whose batch_us values would not correspond to the run that
+            # produced the committed output.
+            persisted = labeled.persist()
+            labeled = persisted
             # D10 duration histogram: per-chunk scoring-latency percentiles
             # (metrics.rs:22-25 analog) written next to the metrics table
             from .operators import latency as lat
@@ -168,6 +175,8 @@ def run_job(
             labeled, cfg, with_models=with_models)
         metrics.write.mode("overwrite").parquet(
             os.path.join(output_dir, "metrics", f"chunk={chunk_id}"))
+        if persisted is not None:
+            persisted.unpersist()
         if fail_before_commit is not None and ran + 1 >= fail_before_commit:
             raise RuntimeError(
                 f"injected failure before manifest commit of chunk {ran + 1}")
@@ -175,6 +184,9 @@ def run_job(
             "chunk_id": chunk_id,
             "input_files": chunk,
             "ruleset_version": cfg.version,
+            # latency/chunk=<id>/ exists only for timed chunks; readers
+            # filter on this so a mixed-flags output dir stays readable
+            "has_latency": timed,
         })
         ran += 1
         processed.extend(chunk)
@@ -269,7 +281,25 @@ def read_metrics(spark: SparkSession, output_dir: str) -> DataFrame:
 
 
 def read_latency(spark: SparkSession, output_dir: str) -> DataFrame:
-    return _read_committed(spark, output_dir, "latency")
+    """Latency percentiles for the chunks that HAVE them: latency/ is
+    written only when measure_latency AND with_models were set for a
+    chunk, so a mixed run (resume with different flags, CLI without
+    --measure-latency) must not make the reader fail on missing paths.
+    Manifest entries record `has_latency`; pre-flag manifests fall back
+    to a directory-existence probe."""
+    entries = read_manifest(output_dir)
+    base = os.path.join(output_dir, "latency")
+    ids = [
+        e["chunk_id"] for e in entries
+        if e.get("has_latency",
+                 os.path.isdir(os.path.join(base, f"chunk={e['chunk_id']}")))
+    ]
+    if not ids:
+        raise FileNotFoundError(
+            f"no committed chunks with latency data under {output_dir} "
+            "(run with measure_latency=True)")
+    paths = [os.path.join(base, f"chunk={i}") for i in ids]
+    return spark.read.option("basePath", base).parquet(*paths)
 
 
 def write_bucketed(df: DataFrame, table: str, buckets: int,

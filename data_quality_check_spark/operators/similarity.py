@@ -85,6 +85,20 @@ def _grid_keys(spark, n_blocks: int, *, triangular: bool) -> DataFrame:
 
 MAX_GROUP = 1024  # hot-bucket guard: member-pool cap per bucket/cell
 
+# Block-matmul task sizing: mapInPandas materializes whole Arrow batches
+# (default 10k records), and each GRID row carries two packed
+# ~block_rows·dim·8 B blocks — an unbounded batch of grid rows is tens of
+# GB of task memory. Bounding rows-per-partition bounds the batch (Arrow
+# batches never cross partitions): ≤ 8 rows × 2 blocks × ~2 MB ≈ 32 MB.
+GRID_ROWS_PER_TASK = 8
+
+
+def _bound_grid(grid: DataFrame, n_grid_rows: int,
+                rows_per_task: int = GRID_ROWS_PER_TASK) -> DataFrame:
+    """Round-robin the joined grid so each partition (⇒ each Arrow batch)
+    holds at most `rows_per_task` block-pair rows."""
+    return grid.repartition(max(1, -(-n_grid_rows // rows_per_task)))
+
 
 def _cap_members(ids: np.ndarray, mat: np.ndarray,
                  cap: int) -> tuple[np.ndarray, np.ndarray]:
@@ -128,9 +142,12 @@ def pairs_above_fast(emb: DataFrame, threshold: float = 0.95,
 
     Plan: pack rows into B = ceil(N/block_rows) blocks (one shuffle), join
     the upper triangle of block pairs (B(B+1)/2 rows), one BLAS matmul per
-    block pair. NO driver collect anywhere — each task holds exactly two
-    blocks (~2·block_rows·dim·8 B). Exact is inherently O(N²/block); the
-    100 TB scale path is the LSH/IVF-bucketed candidate set."""
+    block pair. NO driver collect anywhere. Task memory is bounded PER
+    ARROW BATCH, not per pair: mapInPandas materializes a whole batch of
+    grid rows, so the grid is repartitioned to ≤ GRID_ROWS_PER_TASK rows
+    per partition (≈ 2·rows·block_rows·dim·8 B per task). Exact is
+    inherently O(N²/block); the 100 TB scale path is the LSH/IVF-bucketed
+    candidate set."""
     agg, n_blocks = _block_agg(emb, id_col, vec_col, block_rows)
     a = agg.select(F.col("blk").alias("blk_a"), F.col("items").alias("items_a"))
     b = agg.select(F.col("blk").alias("blk_b"), F.col("items").alias("items_b"))
@@ -138,7 +155,8 @@ def pairs_above_fast(emb: DataFrame, threshold: float = 0.95,
     # a `blk_a <= blk_b` theta-join would BroadcastNestedLoopJoin the whole
     # packed corpus; this way only B² ints are nested-loop joined
     keys = _grid_keys(emb.sparkSession, n_blocks, triangular=True)
-    grid = keys.join(a, "blk_a").join(b, "blk_b")
+    grid = _bound_grid(keys.join(a, "blk_a").join(b, "blk_b"),
+                       n_blocks * (n_blocks + 1) // 2)
 
     def scan(batches):
         for p in batches:
@@ -171,11 +189,13 @@ def brute_force_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
                      block_rows: int = BLOCK_ROWS) -> DataFrame:
     """Exact top-k cosine neighbors for every vector, excluding self.
 
-    Distributed block matmul: query blocks × corpus blocks (B² grid rows),
-    per-pair local top-k, then a segmented merge (window over the query id,
-    N·B·k rows). NO driver collect; ties break on smaller neighbor id under
-    the same (cos desc, id asc) total order locally and globally, so the
-    merge of per-block top-ks is exactly the global top-k.
+    Distributed block matmul: query blocks × corpus blocks (B² grid rows,
+    repartitioned to ≤ GRID_ROWS_PER_TASK rows per partition so the Arrow
+    batch — the real unit of task memory — stays bounded), per-pair local
+    top-k, then a segmented merge (window over the query id, N·B·k rows).
+    NO driver collect; ties break on smaller neighbor id under the same
+    (cos desc, id asc) total order locally and globally, so the merge of
+    per-block top-ks is exactly the global top-k.
     """
     from pyspark.sql import Window
 
@@ -183,7 +203,8 @@ def brute_force_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
     q = agg.select(F.col("blk").alias("blk_a"), F.col("items").alias("q_items"))
     c = agg.select(F.col("blk").alias("blk_b"), F.col("items").alias("c_items"))
     keys = _grid_keys(emb.sparkSession, n_blocks, triangular=False)
-    grid = keys.join(q, "blk_a").join(c, "blk_b")
+    grid = _bound_grid(keys.join(q, "blk_a").join(c, "blk_b"),
+                       n_blocks * n_blocks)
 
     def local_topk(batches):
         for p in batches:

@@ -82,3 +82,36 @@ def test_run_job_writes_latency_table(spark, tmp_path, bc_models):
         assert r["p50_us"] <= r["p95_us"] <= r["p99_us"]
     # the labeled output itself does not leak the instrumentation column
     assert "batch_us" not in dq_io.read_output(spark, out).columns
+
+
+def test_read_latency_tolerates_mixed_flag_chunks(spark, tmp_path, bc_models):
+    """ADVICE r02: a resume that flips measure_latency produces a manifest
+    with timed AND untimed chunks; read_latency must read only the timed
+    ones instead of failing on a missing latency path."""
+    import pytest
+
+    from data_quality_check_spark import io as dq_io
+
+    def write_src(path, base):
+        rows = [(f"m{base + i % 3}", i // 3, "user",
+                 f"plain text turn number {base + i} here", None, None)
+                for i in range(30)]
+        (spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string, "
+                  "tool string, ts timestamp").coalesce(1).write
+         .mode("append").parquet(path))
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    write_src(src, 0)
+    dq_io.run_job(spark, src, out, bc_models=bc_models,
+                  files_per_chunk=100, measure_latency=False)
+    with pytest.raises(FileNotFoundError, match="latency"):
+        dq_io.read_latency(spark, out)
+    write_src(src, 1000)  # second chunk, this time timed
+    dq_io.run_job(spark, src, out, bc_models=bc_models,
+                  files_per_chunk=100, measure_latency=True)
+    lat = dq_io.read_latency(spark, out).collect()
+    assert len(lat) >= 1          # only the timed chunk is read
+    # both chunks' turns remain readable
+    assert dq_io.read_output(spark, out).count() == 60
