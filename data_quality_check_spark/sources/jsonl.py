@@ -139,10 +139,15 @@ def _not_false(c: Column) -> Column:
     return F.coalesce(c, F.lit(False))
 
 
-def _spark_arms(spec, src_col: str, parsed: Column, path: str,
+def _spark_arms(spec, parsed: Column, path: str,
                 keys: Column, var_col: str = "_var",
                 ) -> dict[str, list[Column]]:
-    """Per-kind mismatch conditions for one struct level (recursive)."""
+    """Per-kind mismatch conditions for one struct level (recursive).
+
+    All per-field probes read the VARIANT column (parsed once per record):
+    child keys come from serializing just the already-parsed subtree
+    (to_json(try_variant_get(...)) — O(subtree)), never from re-parsing
+    the raw string per struct field (r02's 3+-parses-per-record tax)."""
     arms: dict[str, list[Column]] = {
         "type_mismatch": [], "enum_mismatch": [], "unknown_field": []}
     names = [f.name for f in spec]
@@ -174,9 +179,8 @@ def _spark_arms(spec, src_col: str, parsed: Column, path: str,
             is_obj = vt.startswith("OBJECT")
             arms["type_mismatch"].append(has_val & ~is_obj)
             child_keys = F.json_object_keys(
-                F.get_json_object(F.col(src_col), p))
-            sub = _spark_arms(f.fields, src_col, leaf, p, child_keys,
-                              var_col)
+                F.expr(f"to_json(try_variant_get({var_col}, '{p}'))"))
+            sub = _spark_arms(f.fields, leaf, p, child_keys, var_col)
             for k, cs in sub.items():
                 arms[k].extend(_not_false(has_val & is_obj & c) for c in cs)
         else:
@@ -223,7 +227,7 @@ def validate_json_records(
     obj_keys = F.json_object_keys(F.col("_src"))
     malformed = F.col("_src").isNull() | obj_keys.isNull()
 
-    arms = _spark_arms(spec, "_src", F.col("_parsed"), "$", obj_keys)
+    arms = _spark_arms(spec, F.col("_parsed"), "$", obj_keys)
 
     def any_of(cs):
         cond = F.lit(False)
@@ -245,7 +249,11 @@ def validate_json_records(
         flags.append(("missing_field", ~malformed & ~present))
         if required_value is not None:
             text, vtypes = _render_required(required_value)
-            rv = F.get_json_object(F.col("_src"), f"$.{required_field}")
+            # casting the variant scalar renders exactly like the raw-text
+            # forms _render_required emits (unquoted string / digits /
+            # true|false) — no get_json_object re-parse of _src
+            rv = F.expr(
+                f"cast(try_variant_get(_var, '$.{required_field}') as string)")
             vt = _vtype("_var", f"$.{required_field}")
             ok = vt.isin(*vtypes) & rv.eqNullSafe(F.lit(text))
             flags.append(("field_mismatch", present & ~_not_false(ok)))
