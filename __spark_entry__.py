@@ -544,12 +544,18 @@ def _q_events_window(spark, sf_dir):
 
 
 def _q_multimodal_features(spark, sf_dir):
+    """Decode-stub feature extraction, FULLY oracled: payload bytes are
+    pure media_id arithmetic (multimodal.payload_bytes_np), so DuckDB
+    re-derives every chunk-mean feature without seeing the binary — the
+    honestly-stubbed real_decode stays the only uncovered step."""
     from data_quality_check_spark.operators import multimodal
     media = multimodal.synth_media(spark, n=256)
     feats = multimodal.extract_features(media)
+    scaled = F.transform(
+        "features", lambda x: F.floor(x * 1e6).cast("long"))
     return feats.select(
         "media_id", "kind",
-        _scaled(F.col("features")[0], 1e6).alias("f0_u"),
+        F.array_join(scaled, ",").alias("features_u"),
         F.size("features").alias("dim"),
     )
 
@@ -1021,6 +1027,28 @@ FROM range(256) t(i)
 
     multimodal_meta = mm_base
 
+    # feature twin: payload byte j of media i is (i*37 + j*101 +
+    # (i%11)*(j%13)) % 256 (multimodal.payload_bytes_np); payload length
+    # 64 + (i%17)*32 is divisible by FEATURE_DIM=16, so np.array_split
+    # chunks are uniform and each feature is an exact-integer sum divided
+    # once in float64 — bit-identical across engines
+    multimodal_features = f"""
+WITH m AS ({mm_base}),
+f AS (
+  SELECT media_id, kind, payload_bytes // 16 AS cs, payload_bytes
+  FROM m
+)
+SELECT media_id, kind,
+  array_to_string(list_transform(range(0, 16), c ->
+    CAST(floor(
+      CAST(list_sum(list_transform(range(c * cs, (c + 1) * cs), j ->
+        (media_id * 37 + j * 101 + (media_id % 11) * (j % 13)) % 256
+      )) AS DOUBLE) / cs * 1e6) AS BIGINT)
+  ), ',') AS features_u,
+  16 AS dim
+FROM f
+"""
+
     multimodal_frames = f"""
 WITH m AS ({mm_base})
 SELECT media_id, mime, CAST(f AS INT) AS frame_ts_ms
@@ -1078,7 +1106,7 @@ GROUP BY 1, 2
         "events_props": events_props,
         "multimodal_meta": multimodal_meta,
         "multimodal_frames": multimodal_frames,
+        "multimodal_features": multimodal_features,
         # rows-only (model scores / own-hash signatures not SQL-expressible):
-        # qf_pipeline_full, dedup_minhash_lsh, dedup_simhash,
-        # ann_lsh_top1, ann_ivf_top1, text_langid, multimodal_features
+        # qf_pipeline_full, dedup_minhash_lsh, dedup_simhash, text_langid
     }

@@ -42,16 +42,25 @@ def real_decode(payload: bytes, mime: str):
     )
 
 
+def payload_bytes_np(i: int, length: int) -> np.ndarray:
+    """Deterministic payload bytes as PURE media_id arithmetic (uint8):
+    b(i, j) = (i*37 + j*101 + (i%11)*(j%13)) % 256. SQL-expressible, so
+    the DuckDB oracle re-derives the bytes (and anything computed from
+    them, e.g. fake_features' chunk means) without seeing the binary."""
+    j = np.arange(length, dtype=np.int64)
+    return ((i * 37 + j * 101 + (i % 11) * (j % 13)) % 256).astype(np.uint8)
+
+
 def synth_media(spark, n: int = 256) -> DataFrame:
-    """Deterministic fake media table: payload bytes are a seeded function
-    of media_id, so feature extraction is reproducible."""
+    """Deterministic fake media table: payload bytes and all metadata are
+    pure media_id arithmetic (payload_bytes_np), so feature extraction is
+    reproducible AND oracle-checkable."""
     kinds = ["image", "audio", "video"]
     mimes = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
-        rng = np.random.RandomState(1000 + i)
-        payload = rng.bytes(64 + (i % 17) * 32)
+        payload = payload_bytes_np(i, 64 + (i % 17) * 32).tobytes()
         rows.append((
             i, kind, mimes[kind], bytearray(payload),
             64 * (1 + i % 4) if kind != "audio" else None,
