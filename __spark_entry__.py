@@ -338,12 +338,20 @@ def _q_ann_top1(spark, sf_dir):
 
 
 def _q_ann_lsh_top1(spark, sf_dir):
+    """LSH top-1 under the FULL oracle (r02 #2): hyperplanes are an
+    integer-mix formula both engines evaluate exactly, posting rides int8
+    codes, and lsh_top1_sql reproduces buckets/cap/tie order in DuckDB."""
     top = similarity.lsh_topk(_emb(spark, sf_dir), k=1)
     return top.select("vec_id", "neighbor_id")
 
 
 def _q_ann_ivf_top1(spark, sf_dir):
-    top = similarity.ivf_topk(_emb(spark, sf_dir), k=1, nprobe=4)
+    """IVF top-1 under the FULL oracle: fixed SQL-reproducible quantizer
+    (init='by_id', iters=0 — the 16 smallest-id vectors), real posting/
+    probe/score plumbing; the k-means quality path stays covered by the
+    recall sweep + determinism tests."""
+    top = similarity.ivf_topk(_emb(spark, sf_dir), k=1, n_cells=16,
+                              nprobe=4, iters=0, init="by_id")
     return top.select("vec_id", "neighbor_id")
 
 
@@ -1087,6 +1095,8 @@ GROUP BY 1, 2
         "dedup_embedding_groups": dedup_embedding_groups,
         "emb_quantize": similarity.QUANTIZE_SQL,
         "ann_top1": ann_top1,
+        "ann_lsh_top1": similarity.lsh_top1_sql(),
+        "ann_ivf_top1": similarity.ivf_top1_sql(n_cells=16, nprobe=4),
         "text_tokens": text_tokens,
         "text_quality": text_quality,
         "text_fingerprint": text_fingerprint,

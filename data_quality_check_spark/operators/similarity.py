@@ -122,6 +122,25 @@ def _norm_rows(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def _quantize_np(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row symmetric int8 codes + float64 scales — the SAME formula as
+    quantize_embeddings (q_i = floor(x_i / max|x| * 127)), so the DuckDB
+    twins re-derive the codes exactly. Zero rows → all-zero codes, scale 0."""
+    s = np.abs(v).max(axis=1)
+    safe = np.where(s > 0, s, 1.0)
+    q = np.floor(v / safe[:, None] * 127).astype(np.int8)
+    q[s == 0] = 0
+    return q, s
+
+
+def _dequant_rows(codes, scales: np.ndarray) -> np.ndarray:
+    """int8 code bytes + scales → float64 matrix ((q·s)/127 — the order the
+    SQL twins use: c * s / 127)."""
+    q = np.stack([np.frombuffer(b, dtype=np.int8) for b in codes]) \
+        .astype(np.float64)
+    return q * scales[:, None] / 127.0
+
+
 def _unpack(items) -> tuple[np.ndarray, np.ndarray]:
     """array<struct> block → (ids, L2-normalized float64 matrix). Zero-norm
     vectors get norm 1 so their cosine vs anything is 0.0, never NaN (NaN
@@ -236,11 +255,18 @@ def brute_force_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
 
 
 def kmeans_np(mat: np.ndarray, k: int, iters: int = 10,
-              seed: int = 11) -> np.ndarray:
+              seed: int = 11, init_cent: np.ndarray | None = None
+              ) -> np.ndarray:
     """Seeded mini k-means on normalized vectors (driver-side; the coarse
-    quantizer for IVF). Deterministic; cosine == dot on normalized input."""
+    quantizer for IVF). Deterministic; cosine == dot on normalized input.
+    `init_cent` overrides the seeded-choice initialization (iters=0 then
+    returns it unchanged — the SQL-reproducible fixed-quantizer form)."""
     rng = np.random.RandomState(seed)
-    cent = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)]
+    if init_cent is not None:
+        cent = init_cent.copy()
+    else:
+        cent = mat[rng.choice(len(mat), size=min(k, len(mat)),
+                              replace=False)]
     for _ in range(iters):
         assign = np.argmax(mat @ cent.T, axis=1)
         for c in range(cent.shape[0]):
@@ -270,7 +296,10 @@ class IvfIndex:
 
 
 def _post_fn(bc, id_col: str, vec_col: str, probes: int):
-    """mapInPandas fn: assign each vector to its `probes` nearest cells."""
+    """mapInPandas fn: assign each vector to its `probes` nearest cells.
+    The posting rows carry int8 codes + a scale, not the float vector —
+    the cell exchange (and the persisted posting table) is ~4x slimmer;
+    cell assignment still reads the full float vector."""
     def post(batches):
         c = bc.value
         for p in batches:
@@ -278,12 +307,15 @@ def _post_fn(bc, id_col: str, vec_col: str, probes: int):
             vn = _norm_rows(v)
             sims = vn @ c.T
             cells = np.argsort(-sims, axis=1, kind="stable")[:, :probes]
+            q, s = _quantize_np(v)
+            codes = [qq.tobytes() for qq in q]
             frames = []
             for j in range(min(probes, cells.shape[1])):
                 frames.append(pd.DataFrame({
                     id_col: p[id_col].to_numpy(),
                     "cell": cells[:, j].astype(np.int64),
-                    vec_col: p[vec_col],
+                    "code": codes,
+                    "scale": s,
                 }))
             yield pd.concat(frames, ignore_index=True)
     return post
@@ -291,27 +323,41 @@ def _post_fn(bc, id_col: str, vec_col: str, probes: int):
 
 def ivf_build(emb: DataFrame, id_col: str = "vec_id",
               vec_col: str = "embedding", n_cells: int | None = None,
-              sample: int = 100_000) -> IvfIndex:
+              sample: int = 100_000, iters: int = 10,
+              init: str = "sample") -> IvfIndex:
     """Train the coarse quantizer and post the corpus into cells.
 
     100 TB shape: the quantizer trains on a bounded deterministic sample
     (hash-ordered limit — bare limit() varies with partition layout and
     would make the index irreproducible), centroids are a tiny broadcast,
     and the corpus moves exactly once, keyed by cell id, into a persisted
-    posting table. n_cells defaults to ~sqrt(N) (classic IVF sizing).
+    posting table of int8 codes. n_cells defaults to ~sqrt(N) (classic
+    IVF sizing).
+
+    init='by_id' seeds the quantizer with the n_cells smallest-id vectors
+    (normalized, in id order); with iters=0 the quantizer is then a pure
+    function of the data that the DuckDB twin (ivf_top1_sql) reproduces —
+    the fully oracled gate form. init='sample' + iters>0 is the quality
+    path (k-means), covered by the recall sweep.
     """
     spark = emb.sparkSession
     n_total = emb.count()
     if n_cells is None:
         n_cells = max(4, int(np.sqrt(n_total)))
-    pdf = (emb.select(id_col, vec_col)
-           .withColumn("_h", F.xxhash64(F.col(id_col)))
-           .orderBy("_h").limit(sample)
-           .orderBy(id_col).select(vec_col)).toPandas()
+    if init == "by_id":
+        pdf = (emb.select(id_col, vec_col)
+               .orderBy(id_col).limit(n_cells)
+               .orderBy(id_col).select(vec_col)).toPandas()
+    else:
+        pdf = (emb.select(id_col, vec_col)
+               .withColumn("_h", F.xxhash64(F.col(id_col)))
+               .orderBy("_h").limit(sample)
+               .orderBy(id_col).select(vec_col)).toPandas()
     mat = _norm_rows(np.asarray(pdf[vec_col].tolist(), dtype=np.float64))
-    cent = kmeans_np(mat, n_cells)
+    cent = kmeans_np(mat, n_cells, iters=iters,
+                     init_cent=mat if init == "by_id" else None)
     bc = spark.sparkContext.broadcast(cent)
-    schema = f"{id_col} long, cell long, {vec_col} array<float>"
+    schema = f"{id_col} long, cell long, code binary, scale double"
     posted = emb.select(id_col, vec_col).mapInPandas(
         _post_fn(bc, id_col, vec_col, 1), schema=schema).persist()
     return IvfIndex(bc, posted, id_col, vec_col, n_cells)
@@ -324,7 +370,7 @@ def ivf_query(index: IvfIndex, queries: DataFrame, k: int = 1,
     groups, member pool capped so a hot cell stays linear."""
     id_col, vec_col = index.id_col, index.vec_col
     nprobe = min(nprobe, index.n_cells)
-    schema = f"{id_col} long, cell long, {vec_col} array<float>"
+    schema = f"{id_col} long, cell long, code binary, scale double"
     probed = queries.select(id_col, vec_col).mapInPandas(
         _post_fn(index.centroids_bc, id_col, vec_col, nprobe),
         schema=schema).withColumn("probe", F.lit(1))
@@ -335,8 +381,8 @@ def ivf_query(index: IvfIndex, queries: DataFrame, k: int = 1,
         probes = pdf[pdf["probe"] == 1]
         if not len(members) or not len(probes):
             return pd.DataFrame({id_col: [], "neighbor_id": [], "cos": []})
-        mv = np.asarray(members[vec_col].tolist(), dtype=np.float64)
-        qv = np.asarray(probes[vec_col].tolist(), dtype=np.float64)
+        mv = _dequant_rows(members["code"], members["scale"].to_numpy())
+        qv = _dequant_rows(probes["code"], probes["scale"].to_numpy())
         mids, mv = _cap_members(members[id_col].to_numpy(), mv, max_group)
         mv = _norm_rows(mv)
         qv = _norm_rows(qv)
@@ -364,21 +410,44 @@ def ivf_query(index: IvfIndex, queries: DataFrame, k: int = 1,
 def ivf_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
              vec_col: str = "embedding", n_cells: int | None = None,
              nprobe: int = 4, sample: int = 100_000,
-             max_group: int = MAX_GROUP) -> DataFrame:
+             max_group: int = MAX_GROUP, iters: int = 10,
+             init: str = "sample") -> DataFrame:
     """One-shot IVF self-query: build the index over `emb` and query it
     with the same rows (the gate/bench form of ivf_build + ivf_query)."""
-    index = ivf_build(emb, id_col, vec_col, n_cells=n_cells, sample=sample)
+    index = ivf_build(emb, id_col, vec_col, n_cells=n_cells, sample=sample,
+                      iters=iters, init=init)
     return ivf_query(index, emb, k=k, nprobe=nprobe, max_group=max_group)
 
 
 N_TABLES = 8
 TARGET_BUCKET = 64  # expected vectors per bucket → planes = log2(n/target)
+MAX_PLANES = 24     # one int64 bucket key up to 2^24 buckets/table
+
+# integer-mix constants for the SQL-expressible hyperplane generator
+_MERS61 = (1 << 61) - 1
+_HP_A1, _HP_B1 = 538124021, 1100087778366101931
+_HP_A2, _HP_B2 = 370248451, 668265263
 
 
 def _hyperplanes(dim: int, tables: int = N_TABLES,
                  planes: int = 10) -> np.ndarray:
-    rng = np.random.RandomState(7)
-    return rng.standard_normal((tables, planes, dim))
+    """Deterministic hyperplanes in [-1, 1) from an integer mix (two
+    multiply-mod-Mersenne rounds with xor-shift nonlinearity) — NOT numpy
+    randomness, so the DuckDB gate twin evaluates the identical formula
+    bit-for-bit (every step stays < 2^62: exact in int64 AND BIGINT).
+    Always generated on the MAX_PLANES grid and sliced, so the first
+    `planes` planes are invariant to the requested count (the SQL twin
+    derives `planes` from count(*) at its own scale factor)."""
+    t = np.arange(tables, dtype=np.int64)[:, None, None]
+    p = np.arange(MAX_PLANES, dtype=np.int64)[None, :, None]
+    d = np.arange(dim, dtype=np.int64)[None, None, :]
+    idx = (t * MAX_PLANES + p) * dim + d + 1
+    h1 = (_HP_A1 * idx + _HP_B1) % _MERS61
+    g = (h1 ^ (h1 >> 29)) % (1 << 31)
+    h2 = (_HP_A2 * g + _HP_B2) % _MERS61
+    h3 = h2 ^ (h2 >> 31)
+    val = (h3 % (1 << 31)) / float(1 << 30) - 1.0
+    return val[:, :planes, :]
 
 
 def n_planes_for(n_vectors: int, target_bucket: int = TARGET_BUCKET) -> int:
@@ -397,11 +466,17 @@ def lsh_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
              planes: int | None = None,
              max_group: int = MAX_GROUP) -> DataFrame:
     """Approximate top-k: random-hyperplane buckets × `tables` hash tables;
-    candidates = bucket collisions in any table; exact cosine re-rank.
+    candidates = bucket collisions in any table; cosine re-rank over
+    dequantized int8 codes.
 
-    Scale shape: each row emits `tables` (bucket, id, vec) tuples; the join
-    is bucket-equality, so shuffle is linear in N and work is quadratic only
-    within buckets (≈ N²/2^planes per table)."""
+    Scale shape: each row emits `tables` (bucket, id, int8 code, scale)
+    tuples — the bucket exchange carries dim BYTES + one double per row
+    instead of dim floats (~4x shuffle cut; r02 advice #5); bucket bits are
+    computed from the full float vector before quantization. The join is
+    bucket-equality, so shuffle is linear in N and work is quadratic only
+    within buckets (≈ N²/2^planes per table). Fully oracle-checkable:
+    hyperplanes, planes-from-count schedule, quantization, member cap and
+    tie order are all reproduced by lsh_top1_sql()."""
     dim = len(emb.select(vec_col).head()[0])
     if planes is None:
         planes = n_planes_for(emb.count())
@@ -412,6 +487,8 @@ def lsh_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
         pl = bc.value
         for p in batches:
             v = np.asarray(p[vec_col].tolist(), dtype=np.float64)
+            q, s = _quantize_np(v)
+            codes = [qq.tobytes() for qq in q]
             out = []
             for t in range(pl.shape[0]):
                 bits = (v @ pl[t].T) > 0
@@ -420,23 +497,25 @@ def lsh_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
                     id_col: p[id_col].to_numpy(),
                     "table": np.int32(t),
                     "bucket": bucket,
-                    vec_col: p[vec_col],
+                    "code": codes,
+                    "scale": s,
                 }))
             yield pd.concat(out, ignore_index=True)
 
     bucketed = emb.select(id_col, vec_col).mapInPandas(
         bucketize,
-        schema=f"{id_col} long, table int, bucket long, {vec_col} array<float>",
+        schema=f"{id_col} long, table int, bucket long, "
+               "code binary, scale double",
     )
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        """Within-bucket cosine via a single matmul — vectorized
-        replacement for per-pair expression folds; the group is small by
-        construction (TARGET_BUCKET expected), and the member side is
-        capped so an adversarial hot bucket stays |group|·cap, not
-        |group|²."""
+        """Within-bucket cosine via a single matmul over dequantized
+        codes — vectorized replacement for per-pair expression folds; the
+        group is small by construction (TARGET_BUCKET expected), and the
+        member side is capped so an adversarial hot bucket stays
+        |group|·cap, not |group|²."""
         ids = pdf[id_col].to_numpy()
-        v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        v = _dequant_rows(pdf["code"], pdf["scale"].to_numpy())
         v = _norm_rows(v)
         mids, mv = _cap_members(ids, v, max_group)
         sims = v @ mv.T
@@ -482,6 +561,121 @@ def quantize_embeddings(emb: DataFrame, id_col: str = "vec_id",
         F.floor(scale * 1e6).cast("long").alias("scale_u"),
         F.array_join(q, ",").alias("q_csv"),
     )
+
+
+# shared DuckDB CTE: raw double vectors + their int8-dequantized twins
+# (same floor(x/s*127) codes the Spark posting carries, dequantized in the
+# same c*s/127 order)
+_DEQ_CTE = """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dq AS (
+  SELECT vec_id, CASE WHEN s > 0
+    THEN list_transform(v, x -> floor(x / s * 127) * s / 127)
+    ELSE list_transform(v, x -> 0.0) END AS w
+  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s
+        FROM e)
+)"""
+
+# guarded cosine over dequantized vectors (zero vector → 0.0, never
+# NaN/-1: DuckDB's list_cosine_similarity returns junk on zero norms)
+_COS_SCORED = """scored AS (
+  SELECT c.qid, c.nid,
+    CASE WHEN list_dot_product(qa.w, qa.w) = 0
+           OR list_dot_product(qb.w, qb.w) = 0 THEN 0.0
+         ELSE list_cosine_similarity(qa.w, qb.w) END AS cos
+  FROM cand c
+  JOIN dq qa ON qa.vec_id = c.qid
+  JOIN dq qb ON qb.vec_id = c.nid
+)
+SELECT vec_id, neighbor_id FROM (
+  SELECT qid AS vec_id, nid AS neighbor_id,
+    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+  FROM scored
+) WHERE rnk = 1"""
+
+
+def lsh_top1_sql(tables: int = N_TABLES,
+                 target_bucket: int = TARGET_BUCKET,
+                 max_group: int = MAX_GROUP) -> str:
+    """DuckDB twin of lsh_topk(k=1): evaluates the SAME integer-mix
+    hyperplanes, planes-from-count schedule, bucket bits from the raw
+    float vector, int8 member codes, member cap and (cos DESC, id) tie
+    order — so the gate hash-checks the approximate path end to end."""
+    return f"""
+WITH par AS (SELECT count(*) AS n, max(len(embedding)) AS dim
+             FROM embeddings),
+pl AS (
+  SELECT CASE WHEN n <= {target_bucket} THEN 2
+    ELSE greatest(2, least({MAX_PLANES},
+         CAST(floor(log2(n / {target_bucket}.0)) AS INT) + 1)) END AS planes,
+    dim FROM par
+),
+hp AS (
+  SELECT t, p, list_transform(
+    list_transform(
+      list_transform(
+        list_transform(range(0, dim),
+                       d -> (t * {MAX_PLANES} + p) * dim + d + 1),
+        i -> ({_HP_A1} * i + {_HP_B1}) % {_MERS61}),
+      h1 -> ({_HP_A2} * (xor(h1, h1 >> 29) % 2147483648)
+             + {_HP_B2}) % {_MERS61}),
+    h2 -> CAST(xor(h2, h2 >> 31) % 2147483648 AS DOUBLE)
+          / 1073741824.0 - 1.0
+  ) AS hv
+  FROM pl, range(0, {tables}) ts(t), range(0, {MAX_PLANES}) ps(p)
+  WHERE p < pl.planes
+),
+{_DEQ_CTE},
+bkt AS (
+  SELECT e.vec_id, hp.t,
+    CAST(sum(CASE WHEN list_dot_product(e.v, hp.hv) > 0
+             THEN CAST(1 AS BIGINT) << hp.p ELSE 0 END) AS BIGINT) AS bucket
+  FROM e, hp GROUP BY e.vec_id, hp.t
+),
+mem AS (
+  SELECT vec_id, t, bucket,
+    row_number() OVER (PARTITION BY t, bucket ORDER BY vec_id) AS rk
+  FROM bkt
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS qid, m.vec_id AS nid
+  FROM bkt a JOIN mem m ON a.t = m.t AND a.bucket = m.bucket
+  WHERE m.rk <= {max_group} AND a.vec_id <> m.vec_id
+),
+{_COS_SCORED}
+"""
+
+
+def ivf_top1_sql(n_cells: int = 16, nprobe: int = 4,
+                 max_group: int = MAX_GROUP) -> str:
+    """DuckDB twin of ivf_topk(k=1, init='by_id', iters=0): the quantizer
+    is the n_cells smallest-id vectors in id order, so cell assignment
+    (rank by cosine-vs-centroid, ties to the lower cell), nprobe probing,
+    the member cap and the final re-rank are all SQL-reproducible."""
+    return f"""
+WITH {_DEQ_CTE},
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_cells})
+),
+asg AS (
+  SELECT e.vec_id, c.cell,
+    row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS rk
+  FROM e, cent c
+),
+mem AS (
+  SELECT vec_id, cell,
+    row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS mrk
+  FROM asg WHERE rk = 1
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS qid, m.vec_id AS nid
+  FROM asg q JOIN mem m ON q.cell = m.cell
+  WHERE q.rk <= {nprobe} AND m.mrk <= {max_group}
+    AND q.vec_id <> m.vec_id
+),
+{_COS_SCORED}
+"""
 
 
 QUANTIZE_SQL = """
