@@ -54,7 +54,17 @@ B64_RE = "^([A-Za-z0-9+/]{4})*([A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
 class FieldSpec:
     """One declared field — the analog of one descriptor-pool field entry
     (protobuf_descriptors.rs builds these from .proto; here they are
-    explicit). kind ∈ string|int|long|double|bool|bytes|enum|struct."""
+    explicit). kind ∈ string|int|long|u64|double|bool|bytes|bytes_raw|
+    enum|struct.
+
+    `bytes` is the proto3-JSON-canonical arm (base64-validated string);
+    `bytes_raw` matches the reference's Kind::Bytes exactly
+    (dynamic-message/src/lib.rs:167-190: ANY JSON string accepted, its
+    raw UTF-8 taken as the bytes — no base64 there). `u64` is the
+    Uint64/Fixed64 arm (lib.rs:107-128): integer-written values in
+    [0, 2^64). Enum numbers are the vocab index (0-based), standing in
+    for the descriptor-assigned numbers the reference resolves
+    (lib.rs:191-221)."""
 
     name: str
     kind: str = "string"
@@ -80,6 +90,8 @@ EXTENDED_SPEC: tuple[FieldSpec, ...] = TRANSCRIPT_SPEC + (
     FieldSpec("score", "double"),
     FieldSpec("flag", "bool"),
     FieldSpec("blob", "bytes"),
+    FieldSpec("braw", "bytes_raw"),
+    FieldSpec("big", "u64"),
     FieldSpec("kind", "enum", enum_vocab=("chat", "task", "note")),
     FieldSpec("meta", "struct", fields=(
         FieldSpec("lang", "string"),
@@ -91,8 +103,16 @@ _SPARK_TYPES = {
     "string": T.StringType(), "int": T.IntegerType(),
     "long": T.LongType(), "double": T.DoubleType(),
     "bool": T.BooleanType(), "bytes": T.StringType(),
+    "bytes_raw": T.StringType(), "u64": T.DecimalType(20, 0),
     "enum": T.StringType(),
 }
+
+U64_MAX = "18446744073709551615"  # 2^64 - 1
+# integer-written, non-negative, ≤ 20 digits (explicit classes — CLAUDE.md
+# regex subset). The variant normalizes 1.0 → DECIMAL(1,0), erasing the
+# written form, so the u64 arm checks the RAW literal text: serde_json
+# parses 1.0 as f64 and the reference's as_u64() then rejects it.
+U64_RE = "^(0|[1-9][0-9]{0,19})$"
 
 
 def build_struct(spec: tuple[FieldSpec, ...]) -> T.StructType:
@@ -141,13 +161,18 @@ def _not_false(c: Column) -> Column:
 
 def _spark_arms(spec, parsed: Column, path: str,
                 keys: Column, var_col: str = "_var",
+                src_col: str = "_src",
                 ) -> dict[str, list[Column]]:
     """Per-kind mismatch conditions for one struct level (recursive).
 
     All per-field probes read the VARIANT column (parsed once per record):
     child keys come from serializing just the already-parsed subtree
     (to_json(try_variant_get(...)) — O(subtree)), never from re-parsing
-    the raw string per struct field (r02's 3+-parses-per-record tax)."""
+    the raw string per struct field (r02's 3+-parses-per-record tax).
+    Sole exception: the u64 arm reads the raw literal text once per u64
+    field (get_json_object) — the variant normalizes 1.0 to DECIMAL(1,0),
+    erasing the integer-written distinction the reference's as_u64()
+    enforces."""
     arms: dict[str, list[Column]] = {
         "type_mismatch": [], "enum_mismatch": [], "unknown_field": []}
     names = [f.name for f in spec]
@@ -165,7 +190,18 @@ def _spark_arms(spec, parsed: Column, path: str,
             # PERMISSIVE from_json nulls an unpopulatable leaf; int is
             # range-checked by the parser itself (u32 analog)
             arms["type_mismatch"].append(has_val & leaf.isNull())
-        elif f.kind == "string":
+        elif f.kind == "u64":
+            # integer-written (raw-text regex), non-string, value in
+            # [0, 2^64): the decimal(20,0) leaf holds any ≤20-digit value,
+            # so the upper bound is an explicit comparison
+            raw = F.get_json_object(F.col(src_col), p)
+            ok = ((vt != "STRING")
+                  & _not_false(raw.rlike(U64_RE))
+                  & _not_false(leaf <= F.lit(U64_MAX).cast("decimal(20,0)")))
+            arms["type_mismatch"].append(has_val & ~ok)
+        elif f.kind in ("string", "bytes_raw"):
+            # bytes_raw ≙ the reference's Kind::Bytes (lib.rs:167-190):
+            # any JSON string is accepted; its UTF-8 bytes are the value
             arms["type_mismatch"].append(has_val & (vt != "STRING"))
         elif f.kind == "bytes":
             arms["type_mismatch"].append(
@@ -180,12 +216,38 @@ def _spark_arms(spec, parsed: Column, path: str,
             arms["type_mismatch"].append(has_val & ~is_obj)
             child_keys = F.json_object_keys(
                 F.expr(f"to_json(try_variant_get({var_col}, '{p}'))"))
-            sub = _spark_arms(f.fields, leaf, p, child_keys, var_col)
+            sub = _spark_arms(f.fields, leaf, p, child_keys, var_col,
+                              src_col)
             for k, cs in sub.items():
                 arms[k].extend(_not_false(has_val & is_obj & c) for c in cs)
         else:
             raise ValueError(f"unknown kind {f.kind!r}")
     return arms
+
+
+def _roundtrip_col(spec, parsed: Column) -> Column:
+    """Canonical serialization struct (D4, lib.rs:261-282): enum names
+    materialize as their NUMBER (vocab index — the reference resolves
+    name→number before serializing, lib.rs:191-221) and raw-bytes fields
+    serialize as base64 of their UTF-8 bytes (the protobuf-JSON bytes
+    representation); structs recurse."""
+    cols = []
+    for f in spec:
+        leaf = parsed[f.name]
+        if f.kind == "enum":
+            num = (F.array_position(
+                F.array(*[F.lit(v) for v in f.enum_vocab]), leaf) - 1
+            ).cast("int")
+            c = F.when(leaf.isNotNull(), num)
+        elif f.kind == "bytes_raw":
+            c = F.when(leaf.isNotNull(),
+                       F.base64(F.encode(leaf, "UTF-8")))
+        elif f.kind == "struct":
+            c = F.when(leaf.isNotNull(), _roundtrip_col(f.fields, leaf))
+        else:
+            c = leaf
+        cols.append(c.alias(f.name))
+    return F.struct(*cols)
 
 
 def _render_required(value) -> tuple[str, tuple[str, ...]]:
@@ -266,8 +328,10 @@ def validate_json_records(
     out = out.withColumn("violations", violations)
     out = out.withColumn("valid", valid)
     # D4: round-trip — canonical serialization of the populated record
-    out = out.withColumn("roundtrip",
-                         F.when(valid, F.to_json(F.col("_parsed"))))
+    # (enum numbers + base64 bytes via the serialization struct)
+    out = out.withColumn(
+        "roundtrip",
+        F.when(valid, F.to_json(_roundtrip_col(spec, F.col("_parsed")))))
     for f in spec:
         out = out.withColumn(
             f.name, F.when(~malformed, F.col("_parsed")[f.name]))
@@ -307,19 +371,28 @@ def _duck_arms(spec, path: str = "$") -> dict[str, list[str]]:
         has = (f"(coalesce(list_contains({keys}, '{f.name}'), FALSE)"
                f" AND {jt} IS NOT NULL AND {jt} <> 'NULL')")
         if f.kind == "int":
-            bad = (f"NOT ({jt} IN ('BIGINT','UBIGINT') AND TRY_CAST({txt} "
-                   f"AS BIGINT) BETWEEN -2147483648 AND 2147483647)")
+            # coalesce: TRY_CAST of a u64-range literal is NULL, and
+            # NULL BETWEEN would otherwise null out the whole arm
+            bad = (f"NOT ({jt} IN ('BIGINT','UBIGINT') AND "
+                   f"coalesce(TRY_CAST({txt} AS BIGINT) BETWEEN "
+                   f"-2147483648 AND 2147483647, FALSE))")
             arms["type_mismatch"].append(f"({has} AND {bad})")
         elif f.kind == "long":
             bad = (f"NOT ({jt} IN ('BIGINT','UBIGINT') AND TRY_CAST({txt} "
                    f"AS BIGINT) IS NOT NULL)")
+            arms["type_mismatch"].append(f"({has} AND {bad})")
+        elif f.kind == "u64":
+            # UBIGINT covers exactly [0, 2^64); json_type excludes
+            # fraction/exponent-written numbers (they come back DOUBLE)
+            bad = (f"NOT ({jt} IN ('BIGINT','UBIGINT') AND TRY_CAST({txt} "
+                   f"AS UBIGINT) IS NOT NULL)")
             arms["type_mismatch"].append(f"({has} AND {bad})")
         elif f.kind == "double":
             arms["type_mismatch"].append(
                 f"({has} AND {jt} NOT IN ('DOUBLE','BIGINT','UBIGINT'))")
         elif f.kind == "bool":
             arms["type_mismatch"].append(f"({has} AND {jt} <> 'BOOLEAN')")
-        elif f.kind == "string":
+        elif f.kind in ("string", "bytes_raw"):
             arms["type_mismatch"].append(f"({has} AND {jt} <> 'VARCHAR')")
         elif f.kind == "bytes":
             arms["type_mismatch"].append(
@@ -425,6 +498,10 @@ def fixture_sql(dialect: str) -> str:
       %41 → kind outside enum vocab             %43 → meta unknown child key
       %47 → meta.lang as number (nested type)   %53 → meta as scalar
       %59 → turn_idx above i32 range (u32-style range check)
+      %61 → big = 2^64 (u64 overflow)           %67 → big negative
+      %71 → braw as number (bytes_raw wants any string)
+      default big = 1844674407370955161x ∈ [2^63, 2^64) — the range only
+      the u64 arm validates
 
     Built with plain string concatenation so Spark SQL and DuckDB produce
     byte-identical records. `dialect` ∈ {'spark', 'duckdb'}.
@@ -461,6 +538,13 @@ def fixture_sql(dialect: str) -> str:
         f"WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END || ',' || "
         f"'\"blob\":\"' || CASE WHEN doc_id % 37 = 0 THEN '!!!' "
         f"ELSE 'TURJ' END || '\",' || "
+        f"'\"braw\":' || CASE WHEN doc_id % 71 = 0 THEN '7' "
+        f"ELSE '\"r' || {did} || '\"' END || ',' || "
+        f"'\"big\":' || CASE WHEN doc_id % 61 = 0 "
+        f"THEN '18446744073709551616' "
+        f"WHEN doc_id % 67 = 0 THEN '-3' "
+        f"ELSE '1844674407370955161' || CAST(doc_id % 6 AS {cast}) "
+        f"END || ',' || "
         f"'\"kind\":\"' || {kind} || '\",' || "
         f"'\"meta\":' || {meta} || ',' || "
         f"'\"ts_epoch\":' || CAST(1700000000 + doc_id AS {cast}) || '}}'"

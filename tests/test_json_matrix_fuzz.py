@@ -23,8 +23,10 @@ SPEC = jsonl.EXTENDED_SPEC
 # value pool: every JSON type incl. boundary integers; base64-valid and
 # -invalid strings; enum members and strangers; nested objects
 _VALUES = [
-    "plain text", "TURJ", "!!!", "chat", "alien", "",
+    "plain text", "TURJ", "!!!", "chat", "alien", "", "123",
     0, 1, -1, 5, 2147483647, 2147483648, -2147483649, 3000000000,
+    9223372036854775807, 9223372036854775808,        # i64 max / +1
+    18446744073709551615, 18446744073709551616,      # u64 max / +1
     1.5, -0.25, 1e3,
     True, False, None,
     {"lang": "en", "v": 3}, {"lang": 5}, {"v": "x"}, {"bogus": 1}, {},

@@ -162,6 +162,46 @@ def test_enum_arm(spark):
     assert _viol(spark, {"kind": 2}) == ["enum_mismatch"]
 
 
+def test_bytes_raw_arm_matches_reference(spark):
+    """lib.rs:167-190: Kind::Bytes accepts ANY JSON string (raw UTF-8
+    bytes), no base64 requirement — unlike the proto3-canonical `bytes`."""
+    assert _viol(spark, {"braw": "!!! not base64 at all"}) == []
+    assert _viol(spark, {"braw": "TURJ"}) == []
+    assert _viol(spark, {"braw": 7}) == ["type_mismatch"]
+    assert _viol(spark, {"braw": True}) == ["type_mismatch"]
+
+
+def test_u64_arm(spark):
+    """lib.rs:107-128: Uint64/Fixed64 — integer-written values in
+    [0, 2^64); [2^63, 2^64) must validate (the long type cannot hold it)."""
+    assert _viol(spark, {"big": 5}) == []
+    assert _viol(spark, {"big": 9223372036854775807}) == []      # i64 max
+    assert _viol(spark, {"big": 9223372036854775808}) == []      # > i64
+    assert _viol(spark, {"big": 18446744073709551615}) == []     # u64 max
+    assert _viol(spark, {"big": 18446744073709551616}) \
+        == ["type_mismatch"]                                     # overflow
+    assert _viol(spark, {"big": -3}) == ["type_mismatch"]
+    assert _viol(spark, {"big": 1.5}) == ["type_mismatch"]
+    assert _viol(spark, {"big": "5"}) == ["type_mismatch"]       # string
+    assert _viol(spark, {"big": True}) == ["type_mismatch"]
+
+
+def test_roundtrip_materializes_enum_number_and_bytes(spark):
+    """D4 serialization (lib.rs:261-282): the enum NAME resolves to its
+    NUMBER (lib.rs:191-221; vocab index here) and raw bytes serialize as
+    base64 — the protobuf-JSON canonical forms."""
+    import base64
+
+    row = _validate(spark, [json.dumps(
+        {"kind": "task", "braw": "héllo", "big": 9223372036854775808})],
+        spec=SPEC)[0]
+    assert row["valid"]
+    rt = json.loads(row["roundtrip"])
+    assert rt["kind"] == 1                      # vocab ("chat","task","note")
+    assert rt["braw"] == base64.b64encode("héllo".encode()).decode()
+    assert int(rt["big"]) == 9223372036854775808
+
+
 def test_nested_struct_arms(spark):
     assert _viol(spark, {"meta": {"lang": "en", "v": 4}}) == []
     assert _viol(spark, {"meta": 7}) == ["type_mismatch"]
