@@ -290,11 +290,23 @@ def _q_dedup_apply(spark, sf_dir):
 
 
 def _q_dedup_minhash(spark, sf_dir):
-    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+    """MinHash+LSH under the FULL oracle (r02 rows-only → closed): the
+    byte-level signature hashing, banding and est-Jaccard filter are all
+    replicated in SQL (minhash_pairs_sql — exact on the ASCII fixture);
+    est_u = floor(est*1e6) is exact in both engines (n/32 is a dyadic
+    rational)."""
+    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return pairs.select(
+        "doc_a", "doc_b",
+        _scaled(F.col("est_jaccard"), 1e6).alias("est_u"))
 
 
 def _q_dedup_simhash(spark, sf_dir):
-    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+    """SimHash pigeonhole near-dup under the FULL oracle (simhash_pairs_sql
+    recomputes the 32-bit signatures byte-for-byte)."""
+    pairs = dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return pairs.select("doc_a", "doc_b",
+                        F.col("hamming").cast("long").alias("hamming"))
 
 
 def _emb_fixture(spark, sf_dir):
@@ -1091,6 +1103,8 @@ GROUP BY 1, 2
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_groups": dedup_groups,
         "dedup_apply": dedup_apply,
+        "dedup_minhash_lsh": dedup.minhash_pairs_sql(threshold=0.5),
+        "dedup_simhash": dedup.simhash_pairs_sql(max_hamming=3),
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_groups": dedup_embedding_groups,
         "emb_quantize": similarity.QUANTIZE_SQL,
@@ -1117,6 +1131,8 @@ GROUP BY 1, 2
         "multimodal_meta": multimodal_meta,
         "multimodal_frames": multimodal_frames,
         "multimodal_features": multimodal_features,
-        # rows-only (model scores / own-hash signatures not SQL-expressible):
-        # qf_pipeline_full, dedup_minhash_lsh, dedup_simhash, text_langid
+        # rows-only (broadcast-numpy model scores: 65k-bucket count tables
+        # per language cannot ride a SQL string, and their float log-prob
+        # reductions are order-dependent — bit-parity pinned in
+        # tests/test_models.py instead): qf_pipeline_full, text_langid
     }

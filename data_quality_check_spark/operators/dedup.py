@@ -279,10 +279,13 @@ def minhash_signatures_np(texts: list, k: int = MINHASH_K) -> np.ndarray:
 
 
 def _band_hash(sig_slice: np.ndarray) -> np.ndarray:
-    """Deterministic 63-bit hash of a [n, rows] signature band."""
+    """Deterministic hash of a [n, rows] signature band. The accumulator
+    is pre-reduced mod 2^31 before the multiply so no step exceeds
+    ~2.3e18 — exact in int64 AND in DuckDB BIGINT (the old h*1000003
+    silently wrapped mod 2^64 in numpy, which SQL cannot replicate)."""
     h = np.zeros(sig_slice.shape[0], dtype=np.int64)
     for j in range(sig_slice.shape[1]):
-        h = (h * 1000003 + sig_slice[:, j]) % _MERSENNE
+        h = ((h % (1 << 31)) * 1000003 + sig_slice[:, j]) % _MERSENNE
     return h
 
 
@@ -422,6 +425,142 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .agg(F.min("hamming").alias("hamming"))
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins for the signature paths (r02: formerly rows-only)
+# ---------------------------------------------------------------------------
+#
+# The byte-level hashing (models/hashing.py) is replicated in SQL:
+# per-position codepoints stand in for UTF-8 bytes — EXACT on the ASCII
+# documents fixture (verified: zero non-ASCII rows at every sf; the gate
+# would diverge on non-ASCII corpora and says so). Every arithmetic step
+# stays below 2^62 so BIGINT and int64 agree; the 32-bit finalizer
+# (h * 2654435761 mod 2^32) is computed via a 16-bit split because the
+# direct product would overflow BIGINT (numpy wraps mod 2^64, which is
+# congruent mod 2^32 — the split reproduces exactly that).
+
+_MAX_BYTES = 4096  # encode_batch max_bytes for signatures
+
+
+def _byte_poly_sql(order: int) -> str:
+    """Rolling polynomial + 32-bit mix over `order` consecutive bytes —
+    the SQL form of hashing.ngram_hashes(raw=True)."""
+    e = "bts[CAST(i+1 AS INT)]"
+    for j in range(2, order + 1):
+        e = f"(({e}) * 31 + bts[CAST(i+{j} AS INT)]) % 281474976710656"
+    p = f"(({e}) % 4294967296)"
+    return (f"((((({p}) // 65536) * 2654435761) % 4294967296) * 65536"
+            f" + (({p}) % 65536) * 2654435761) % 4294967296")
+
+
+def _bytes_cte(table: str = "documents") -> str:
+    return f"""bt AS (
+  SELECT doc_id, list_transform(range(1, length(substr(text,1,{_MAX_BYTES}))+1),
+         i -> unicode(substr(text, CAST(i AS INT), 1))) AS bts
+  FROM {table}
+)"""
+
+
+def minhash_pairs_sql(threshold: float = 0.5, k: int = MINHASH_K,
+                      bands: int = LSH_BANDS,
+                      table: str = "documents") -> str:
+    """DuckDB twin of minhash_lsh_pairs: same signatures (permutation
+    constants embedded), same banding, same candidate join, same
+    estimated-Jaccard filter — emits (doc_a, doc_b, est_u) where
+    est_u = floor(n_agree/k * 1e6), exact in both engines."""
+    rows_per_band = k // bands
+    a, b = _perm_params(k)
+    perm_rows = ", ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(k))
+    bh = "s[1]"
+    for j in range(1, rows_per_band):
+        bh = (f"(({bh} % 2147483648) * 1000003 + s[{j + 1}])"
+              f" % {_MERSENNE}")
+    return f"""
+WITH {_bytes_cte(table)},
+hs AS (
+  SELECT doc_id, CASE WHEN len(bts) >= {_CHAR_SHINGLE}
+    THEN list_transform(range(0, len(bts)-{_CHAR_SHINGLE - 1}),
+                        i -> {_byte_poly_sql(_CHAR_SHINGLE)})
+    ELSE [] END AS h
+  FROM bt
+),
+perms(p, a, b) AS (VALUES {perm_rows}),
+sigs AS (
+  SELECT doc_id, p,
+    coalesce(list_min(list_transform(h, x -> (a*x + b) % {_MERSENNE})),
+             {_MERSENNE}) AS sig
+  FROM hs, perms
+),
+bh AS (
+  SELECT doc_id, band, {bh} AS band_hash FROM (
+    SELECT doc_id, p // {rows_per_band} AS band,
+           list(sig ORDER BY p) AS s
+    FROM sigs GROUP BY doc_id, p // {rows_per_band}
+  )
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bh a JOIN bh b ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+),
+agree AS (
+  SELECT c.doc_a, c.doc_b,
+    sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS n_agree
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.p = sa.p
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+  CAST(floor(CAST(n_agree AS DOUBLE) / {k} * 1e6) AS BIGINT) AS est_u
+FROM agree WHERE CAST(n_agree AS DOUBLE) / {k} >= {threshold}
+"""
+
+
+def simhash_pairs_sql(max_hamming: int = 3,
+                      table: str = "documents") -> str:
+    """DuckDB twin of simhash_pairs: same trigram hashes, per-bit signed
+    sums, pigeonhole banding and hamming filter."""
+    n_bands = max_hamming + 1
+    width = SIMHASH_BITS // n_bands
+    return f"""
+WITH {_bytes_cte(table)},
+hs AS (
+  SELECT doc_id, CASE WHEN len(bts) >= 3
+    THEN list_transform(range(0, len(bts)-2), i -> {_byte_poly_sql(3)})
+    ELSE [] END AS h
+  FROM bt
+),
+w AS (SELECT doc_id, unnest(h) AS h FROM hs),
+bits AS (
+  SELECT w.doc_id, b,
+    CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS bit
+  FROM w, range(0, {SIMHASH_BITS}) rb(b) GROUP BY w.doc_id, b
+),
+sim0 AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash
+         FROM bits GROUP BY doc_id),
+sim AS (
+  SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+  FROM {table} d LEFT JOIN sim0 s ON d.doc_id = s.doc_id
+),
+banded AS (
+  SELECT doc_id, simhash, b AS band,
+         (simhash >> (b * {width})) & {(1 << width) - 1} AS band_key
+  FROM sim, range(0, {n_bands}) rb(b)
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(min(hamming) AS BIGINT) AS hamming
+FROM pairs WHERE hamming <= {max_hamming} GROUP BY doc_a, doc_b
+"""
 
 
 def apply_dedup(docs: DataFrame, groups: DataFrame,
