@@ -119,6 +119,29 @@ def test_minhash_band_exchange_excludes_signature(spark):
         assert "band_hash" in inputs
 
 
+def test_lsh_bucket_exchange_carries_codes_not_floats(spark):
+    """r02 advice #5: the LSH bucket shuffle must carry int8 codes + one
+    scale double per row, never the float vector (O(N·tables·dim·8B) tax)."""
+    import re
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_str(similarity.lsh_topk(emb, k=1))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    bucket_exchanges = [
+        blk for blk in re.split(r"\(\d+\) ", plan)
+        if blk.startswith("Exchange") and "hashpartitioning(table" in blk
+    ]
+    assert bucket_exchanges, "expected a (table, bucket)-keyed exchange"
+    for blk in bucket_exchanges:
+        inputs = blk.split("Arguments:")[0]
+        assert "code" in inputs and "scale" in inputs
+        assert re.search(r"\bembedding#", inputs) is None
+
+
 def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     """Co-located joins: two tables bucketed on the same key SortMergeJoin
     with ZERO exchanges — the pay-the-shuffle-once pattern write_bucketed
