@@ -363,6 +363,47 @@ def ivf_build(emb: DataFrame, id_col: str = "vec_id",
     return IvfIndex(bc, posted, id_col, vec_col, n_cells)
 
 
+def ivf_save(index: IvfIndex, path: str) -> None:
+    """Persist a built index to disk: the posting table as parquet
+    (partitioned by nothing — cell is a column; at 10^9+ vectors write it
+    bucketed by cell instead) plus the quantizer centroids and params.
+    Build once OFFLINE, load in every downstream job — the cross-job form
+    of the build-once/query-many API."""
+    import json
+    import os
+
+    index.posted.write.mode("overwrite").parquet(
+        os.path.join(path, "posting"))
+    spark = index.posted.sparkSession
+    cent = index.centroids_bc.value
+    rows = [(i, [float(x) for x in cent[i]]) for i in range(cent.shape[0])]
+    (spark.createDataFrame(rows, "cell long, centroid array<double>")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(path, "centroids")))
+    tmp = os.path.join(path, ".meta.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"id_col": index.id_col, "vec_col": index.vec_col,
+                   "n_cells": index.n_cells}, fh)
+    os.replace(tmp, os.path.join(path, "meta.json"))
+
+
+def ivf_load(spark, path: str) -> IvfIndex:
+    """Load a saved index: centroids re-broadcast, posting table read
+    lazily (persist() so repeated queries reuse it)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    rows = (spark.read.parquet(os.path.join(path, "centroids"))
+            .orderBy("cell").collect())
+    cent = np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast(cent)
+    posted = spark.read.parquet(os.path.join(path, "posting")).persist()
+    return IvfIndex(bc, posted, meta["id_col"], meta["vec_col"],
+                    meta["n_cells"])
+
+
 def ivf_query(index: IvfIndex, queries: DataFrame, k: int = 1,
               nprobe: int = 4, max_group: int = MAX_GROUP) -> DataFrame:
     """Approximate top-k against a built index: each query probes its

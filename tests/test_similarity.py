@@ -188,6 +188,21 @@ def test_quantize_roundtrip_error_bound(spark):
         assert abs(scale - np.abs(v.astype(np.float64)).max()) < 2e-6
 
 
+def test_ivf_index_save_load_roundtrip(spark, emb, tmp_path):
+    """Cross-job build-once/query-many: a saved+reloaded index answers
+    queries identically to the in-memory one it was built from."""
+    index = similarity.ivf_build(emb, n_cells=16, iters=0, init="by_id")
+    fresh = {(r["vec_id"], r["neighbor_id"]) for r in
+             similarity.ivf_query(index, emb, k=1, nprobe=4).collect()}
+    similarity.ivf_save(index, str(tmp_path / "idx"))
+    index.posted.unpersist()
+    loaded = similarity.ivf_load(spark, str(tmp_path / "idx"))
+    again = {(r["vec_id"], r["neighbor_id"]) for r in
+             similarity.ivf_query(loaded, emb, k=1, nprobe=4).collect()}
+    loaded.posted.unpersist()
+    assert fresh == again and len(fresh) > 0
+
+
 def test_ivf_index_build_once_query_many(emb, np_corpus):
     """The index API: one build serves multiple query sets without
     retraining the quantizer or re-posting the corpus."""
