@@ -318,6 +318,22 @@ def _emb_fixture(spark, sf_dir):
     return emb.unionByName(dup)
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    """INCREMENTAL dedup (daily-ingestion shape): the odd-doc_id half of
+    the corpus queried against a MinHash index built over the even half —
+    band collisions verified by signature agreement; fully oracled
+    (incremental_minhash_sql). The index is localCheckpointed (one-shot
+    gate form) — production builds persist + minhash_save it."""
+    docs = _docs(spark, sf_dir)
+    index = dedup.minhash_build(docs.filter(F.col("doc_id") % 2 == 0),
+                                persist=False)
+    pairs = dedup.incremental_dedup_pairs(
+        index, docs.filter(F.col("doc_id") % 2 == 1), threshold=0.5)
+    return pairs.select(
+        "new_doc", "corpus_doc",
+        _scaled(F.col("est_jaccard"), 1e6).alias("est_u"))
+
+
 def _q_dedup_embedding(spark, sf_dir):
     """Numpy-matmul exact pairs; decision-equal to the declarative
     pairs_above() twin (pinned by tests/test_similarity.py) and to the
@@ -622,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": _q_dedup_groups,
         "dedup_apply": _q_dedup_apply,
         "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_incremental": _q_dedup_incremental,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_groups": _q_dedup_embedding_groups,
@@ -1104,6 +1121,8 @@ GROUP BY 1, 2
         "dedup_groups": dedup_groups,
         "dedup_apply": dedup_apply,
         "dedup_minhash_lsh": dedup.minhash_pairs_sql(threshold=0.5),
+        "dedup_incremental": dedup.incremental_minhash_sql(
+            "d.doc_id % 2 = 0", "d.doc_id % 2 = 1", threshold=0.5),
         "dedup_simhash": dedup.simhash_pairs_sql(max_hamming=3),
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_groups": dedup_embedding_groups,

@@ -292,21 +292,9 @@ def _band_hash(sig_slice: np.ndarray) -> np.ndarray:
 _SIG_SCHEMA = "doc_id long, sig array<long>, band_hashes array<long>"
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.7,
-                      k: int = MINHASH_K, bands: int = LSH_BANDS) -> DataFrame:
-    """Candidate near-dup pairs via MinHash banding, scored by signature
-    agreement (estimated Jaccard), filtered at `threshold`.
-
-    Shuffle discipline (the 100 TB shape):
-      1. ONE Python pass computes (doc_id, sig, band_hashes) — one row per
-         doc, persisted (it is consumed twice).
-      2. The banding join shuffles ONLY (doc_id, band, band_hash) — 20 B
-         per band row; the 32-long signature never rides the band explode
-         (r01 shipped 256 longs/doc through this exchange).
-      3. The signature table joins back on the (rare) CANDIDATE pairs only
-         to count agreeing components.
-    The text never shuffles anywhere.
-    """
+def _sig_table(docs: DataFrame, k: int, bands: int) -> DataFrame:
+    """ONE Python pass computing (doc_id, sig, band_hashes) — one row per
+    doc (the shared front end of self-dedup and incremental dedup)."""
     rows_per_band = k // bands
 
     def compute(batches):
@@ -322,14 +310,31 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.7,
                 "band_hashes": list(bh),
             })
 
+    return docs.select("doc_id", "text").mapInPandas(
+        compute, schema=_SIG_SCHEMA)
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.7,
+                      k: int = MINHASH_K, bands: int = LSH_BANDS) -> DataFrame:
+    """Candidate near-dup pairs via MinHash banding, scored by signature
+    agreement (estimated Jaccard), filtered at `threshold`.
+
+    Shuffle discipline (the 100 TB shape):
+      1. ONE Python pass computes (doc_id, sig, band_hashes) — one row per
+         doc, persisted (it is consumed twice).
+      2. The banding join shuffles ONLY (doc_id, band, band_hash) — 20 B
+         per band row; the 32-long signature never rides the band explode
+         (r01 shipped 256 longs/doc through this exchange).
+      3. The signature table joins back on the (rare) CANDIDATE pairs only
+         to count agreeing components.
+    The text never shuffles anywhere.
+    """
     # localCheckpoint, not persist(): the signature table has two consumers
     # (band explode + candidate join-back), and a bare persist() here would
     # leak a cached DataFrame per call for the session lifetime — gate and
     # bench sweeps call this repeatedly. Checkpoint blocks are reclaimed
     # with the lineage when the returned plan is garbage collected.
-    sig_df = docs.select("doc_id", "text").mapInPandas(
-        compute, schema=_SIG_SCHEMA
-    ).localCheckpoint()
+    sig_df = _sig_table(docs, k, bands).localCheckpoint()
 
     bands_df = sig_df.select(
         "doc_id",
@@ -361,6 +366,162 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.7,
         )
         .filter(F.col("est_jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: MinHash index of the KEPT corpus, queried per batch
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass
+
+
+@dataclass
+class MinHashIndex:
+    """A built corpus index for INCREMENTAL dedup (the daily-ingestion
+    shape: dedup each new batch against everything already kept without
+    re-sweeping the corpus). `sigs` is the persisted signature table;
+    `bands` derives from it lazily. Caller owns sigs.unpersist()."""
+
+    sigs: DataFrame          # (doc_id, sig, band_hashes), persisted
+    k: int
+    n_bands: int
+
+    @property
+    def bands(self) -> DataFrame:
+        return self.sigs.select(
+            "doc_id", F.posexplode("band_hashes").alias("band", "band_hash"))
+
+
+def minhash_build(docs: DataFrame, k: int = MINHASH_K,
+                  bands: int = LSH_BANDS,
+                  persist: bool = True) -> MinHashIndex:
+    """Signature the corpus once; the index is reused for every batch.
+    persist=False uses localCheckpoint instead (reclaimed with lineage
+    GC — the one-shot gate/bench form that cannot leak executor cache)."""
+    sig = _sig_table(docs, k, bands)
+    sig = sig.persist() if persist else sig.localCheckpoint()
+    return MinHashIndex(sig, k, bands)
+
+
+def minhash_save(index: MinHashIndex, path: str) -> None:
+    """Persist the index across jobs: signatures as parquet + params.
+    At 10^12 docs, write bucketed on doc_id so the candidate join-back
+    co-locates."""
+    import json
+    import os
+
+    index.sigs.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
+    tmp = os.path.join(path, ".meta.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"k": index.k, "n_bands": index.n_bands}, fh)
+    os.replace(tmp, os.path.join(path, "meta.json"))
+
+
+def minhash_load(spark, path: str) -> MinHashIndex:
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    sigs = spark.read.parquet(os.path.join(path, "sigs")).persist()
+    return MinHashIndex(sigs, meta["k"], meta["n_bands"])
+
+
+def incremental_dedup_pairs(index: MinHashIndex, new_docs: DataFrame,
+                            threshold: float = 0.7) -> DataFrame:
+    """(new_doc, corpus_doc, est_jaccard) pairs: each NEW document's
+    band collisions against the indexed corpus, verified by signature
+    agreement — the per-batch dedup decision set. Shuffle: the new
+    batch's (doc_id, band, band_hash) rows against the index bands
+    (O(batch·bands), never O(corpus²)); signatures join back on the
+    candidate pairs only."""
+    new_sig = _sig_table(new_docs, index.k, index.n_bands).localCheckpoint()
+    new_bands = new_sig.select(
+        "doc_id", F.posexplode("band_hashes").alias("band", "band_hash"))
+    cand = (
+        new_bands.alias("n").join(
+            index.bands.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.band_hash") == F.col("c.band_hash")))
+        .select(F.col("n.doc_id").alias("new_doc"),
+                F.col("c.doc_id").alias("corpus_doc"))
+        .distinct()
+    )
+    sa = new_sig.select(F.col("doc_id").alias("new_doc"),
+                        F.col("sig").alias("sig_a"))
+    sb = index.sigs.select(F.col("doc_id").alias("corpus_doc"),
+                           F.col("sig").alias("sig_b"))
+    return (
+        cand.join(sa, "new_doc").join(sb, "corpus_doc")
+        .select(
+            "new_doc", "corpus_doc",
+            (F.aggregate(
+                F.zip_with("sig_a", "sig_b",
+                           lambda x, y: (x == y).cast("int")),
+                F.lit(0), lambda acc, v: acc + v,
+            ).cast("double") / index.k).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def incremental_minhash_sql(corpus_where: str, new_where: str,
+                            threshold: float = 0.5, k: int = MINHASH_K,
+                            bands: int = LSH_BANDS,
+                            table: str = "documents") -> str:
+    """DuckDB twin of minhash_build + incremental_dedup_pairs over two
+    WHERE-disjoint slices of one table."""
+    rows_per_band = k // bands
+    a, b = _perm_params(k)
+    perm_rows = ", ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(k))
+    bh = "s[1]"
+    for j in range(1, rows_per_band):
+        bh = (f"(({bh} % 2147483648) * 1000003 + s[{j + 1}])"
+              f" % {_MERSENNE}")
+    return f"""
+WITH {_bytes_cte(table)},
+hs AS (
+  SELECT doc_id, CASE WHEN len(bts) >= {_CHAR_SHINGLE}
+    THEN list_transform(range(0, len(bts)-{_CHAR_SHINGLE - 1}),
+                        i -> {_byte_poly_sql(_CHAR_SHINGLE)})
+    ELSE [] END AS h
+  FROM bt
+),
+perms(p, a, b) AS (VALUES {perm_rows}),
+sigs AS (
+  SELECT doc_id, p,
+    coalesce(list_min(list_transform(h, x -> (a*x + b) % {_MERSENNE})),
+             {_MERSENNE}) AS sig
+  FROM hs, perms
+),
+bh AS (
+  SELECT doc_id, band, {bh} AS band_hash FROM (
+    SELECT doc_id, p // {rows_per_band} AS band,
+           list(sig ORDER BY p) AS s
+    FROM sigs GROUP BY doc_id, p // {rows_per_band}
+  )
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc
+  FROM (SELECT bh.* FROM bh JOIN {table} d USING (doc_id)
+        WHERE {new_where}) n
+  JOIN (SELECT bh.* FROM bh JOIN {table} d USING (doc_id)
+        WHERE {corpus_where}) c
+    ON n.band = c.band AND n.band_hash = c.band_hash
+),
+agree AS (
+  SELECT c.new_doc, c.corpus_doc,
+    sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS n_agree
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.new_doc
+  JOIN sigs sb ON sb.doc_id = c.corpus_doc AND sb.p = sa.p
+  GROUP BY c.new_doc, c.corpus_doc
+)
+SELECT new_doc, corpus_doc,
+  CAST(floor(CAST(n_agree AS DOUBLE) / {k} * 1e6) AS BIGINT) AS est_u
+FROM agree WHERE CAST(n_agree AS DOUBLE) / {k} >= {threshold}
+"""
 
 
 # ---------------------------------------------------------------------------

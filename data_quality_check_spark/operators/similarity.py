@@ -342,6 +342,8 @@ def ivf_build(emb: DataFrame, id_col: str = "vec_id",
     """
     spark = emb.sparkSession
     n_total = emb.count()
+    if n_total == 0:
+        raise ValueError("ivf_build: empty embedding table")
     if n_cells is None:
         n_cells = max(4, int(np.sqrt(n_total)))
     if init == "by_id":
@@ -518,7 +520,10 @@ def lsh_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
     within buckets (≈ N²/2^planes per table). Fully oracle-checkable:
     hyperplanes, planes-from-count schedule, quantization, member cap and
     tie order are all reproduced by lsh_top1_sql()."""
-    dim = len(emb.select(vec_col).head()[0])
+    first = emb.select(vec_col).head()
+    if first is None:
+        raise ValueError("lsh_topk: empty embedding table")
+    dim = len(first[0])
     if planes is None:
         planes = n_planes_for(emb.count())
     hp = _hyperplanes(dim, tables, planes)

@@ -176,6 +176,36 @@ def test_apply_dedup_keeps_representatives(spark, docs_df):
     assert kept == {0, 3, 5}
 
 
+def test_incremental_dedup_against_built_index(spark, docs_df, tmp_path):
+    """Daily-ingestion shape: a new batch dedups against the kept-corpus
+    MinHash index; a saved+reloaded index gives identical pairs, and the
+    pairs agree with the self-sweep restricted to cross-slice pairs."""
+    corpus = docs_df.filter("doc_id % 2 = 0")
+    new = docs_df.filter("doc_id % 2 = 1")
+    index = dedup.minhash_build(corpus, persist=False)
+    got = {(r["new_doc"], r["corpus_doc"]): r["est_jaccard"] for r in
+           dedup.incremental_dedup_pairs(index, new, threshold=0.5)
+           .collect()}
+    # cross-slice subset of the self-sweep (same bands, same estimator)
+    full = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in
+            dedup.minhash_lsh_pairs(docs_df, threshold=0.5).collect()}
+    expect = {}
+    for (x, y), est in full.items():
+        if x % 2 != y % 2:
+            n_doc, c_doc = (x, y) if x % 2 == 1 else (y, x)
+            expect[(n_doc, c_doc)] = est
+    assert got == expect and got  # non-vacuous: (0,1) pair exists
+    # cross-job reuse: save → load → identical decision set
+    idx2 = dedup.minhash_build(corpus, persist=False)
+    dedup.minhash_save(idx2, str(tmp_path / "mhidx"))
+    loaded = dedup.minhash_load(spark, str(tmp_path / "mhidx"))
+    again = {(r["new_doc"], r["corpus_doc"]) for r in
+             dedup.incremental_dedup_pairs(loaded, new, threshold=0.5)
+             .collect()}
+    loaded.sigs.unpersist()
+    assert again == set(got)
+
+
 def _majority_dup_fixture(spark, n=400):
     """Adversarial corpus: ~75% duplicates — the realistic 100 TB shape
     where the drop set is O(corpus), not tiny."""
