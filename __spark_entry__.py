@@ -241,6 +241,28 @@ def _q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(spark.sql(DEDUP_FIXTURE_SQL))
 
 
+# Line-dedup fixture: every doc becomes 3 lines — a header shared on a %7
+# schedule, the (unique) original text, and a footer shared by %3 docs —
+# so cross-document duplicate lines exist at every sf (NON-VACUOUS) and
+# both engines derive the identical multi-line corpus.
+LINES_FIXTURE_SQL = """
+SELECT doc_id,
+  'header variant ' || CAST(doc_id % 7 AS STRING) || chr(10) ||
+  text || chr(10) ||
+  CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter today'
+       ELSE 'unique footer ' || CAST(doc_id AS STRING) END AS text
+FROM documents
+"""
+
+
+def _q_dedup_lines(spark, sf_dir):
+    """C4-style line-level corpus dedup: a line duplicated anywhere in
+    the corpus survives only at its first (doc_id, pos) occurrence; text
+    reassembled in order. Fully oracled (dedup.dedup_lines_sql)."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return dedup.dedup_lines(spark.sql(LINES_FIXTURE_SQL))
+
+
 # Hot-shingle document-frequency cap used by the gate queries — mirrored in
 # the DuckDB oracle CTEs so both engines compute Jaccard over the same
 # capped shingle sets (see ngram_jaccard_pairs docstring).
@@ -633,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_ruleset_diff": _q_qf_ruleset_diff,
         "json_validate": _q_json_validate,
         "dedup_exact": _q_dedup_exact,
+        "dedup_lines": _q_dedup_lines,
         "decontaminate": _q_decontaminate,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_groups": _q_dedup_groups,
@@ -1116,6 +1139,7 @@ GROUP BY 1, 2
         "qf_latency": qf_latency,
         "qf_ruleset_diff": qf_ruleset_diff,
         "dedup_exact": dedup_exact,
+        "dedup_lines": dedup.dedup_lines_sql(LINES_FIXTURE_SQL),
         "decontaminate": decontaminate,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_groups": dedup_groups,

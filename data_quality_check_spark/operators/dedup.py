@@ -369,6 +369,84 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.7,
 
 
 # ---------------------------------------------------------------------------
+# line-level corpus dedup (C4-style: drop lines duplicated across docs)
+# ---------------------------------------------------------------------------
+
+def dedup_lines(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style line-level dedup: a line occurring in MORE than one place
+    across the corpus survives only at its FIRST occurrence (min doc_id,
+    then min position); every other copy is dropped. Returns
+    (doc_id, text_deduped, n_lines, n_lines_dropped) with original line
+    order preserved.
+
+    Plan: posexplode lines (narrow) → normalized-line md5 → one window
+    over the HASH key ranked by (doc_id, pos) — only (hash, doc_id, pos,
+    line) rows shuffle, grouped by the high-cardinality line hash — →
+    re-assemble per doc (second shuffle on doc_id). Deterministic under
+    any partitioning; empty/whitespace lines are never dropped (they
+    carry no content and would all collide)."""
+    from pyspark.sql import Window
+
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    norm = F.regexp_replace(F.regexp_replace(F.lower(F.col("line")),
+                                             "[ \t\r]+", " "), "^ | $", "")
+    hashed = lines.withColumn("_blank", norm == "") \
+        .withColumn("_h", F.md5(norm))
+    w = Window.partitionBy("_h").orderBy("doc_id", "pos")
+    ranked = hashed.withColumn(
+        "_keep", F.col("_blank") | (F.row_number().over(w) == 1))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("_keep"),
+                               F.struct("pos", "line")))),
+                    lambda s: s["line"]),
+                "\n").alias("text_deduped"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count_if(~F.col("_keep")).alias("n_lines_dropped"),
+        )
+    )
+
+
+def dedup_lines_sql(
+        source_sql: str = "SELECT doc_id, text FROM documents") -> str:
+    """DuckDB twin of dedup_lines over any (doc_id, text) source."""
+    return f"""
+WITH src AS ({source_sql}),
+lines AS (
+  SELECT doc_id, CAST(p - 1 AS INT) AS pos, ls[p] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM src),
+       LATERAL unnest(range(1, len(ls) + 1)) AS u(p)
+),
+hashed AS (
+  SELECT *, n = '' AS blank, md5(n) AS h FROM (
+    SELECT doc_id, pos, line,
+      regexp_replace(regexp_replace(lower(line), '[ \t\r]+', ' ', 'g'),
+                     '^ | $', '', 'g') AS n
+    FROM lines)
+),
+ranked AS (
+  SELECT doc_id, pos, line,
+    blank OR row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) = 1
+      AS keep
+  FROM hashed
+)
+SELECT doc_id,
+  coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos),
+           '') AS text_deduped,
+  count(*) AS n_lines,
+  count(*) FILTER (WHERE NOT keep) AS n_lines_dropped
+FROM ranked GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # incremental dedup: MinHash index of the KEPT corpus, queried per batch
 # ---------------------------------------------------------------------------
 

@@ -176,6 +176,26 @@ def test_apply_dedup_keeps_representatives(spark, docs_df):
     assert kept == {0, 3, 5}
 
 
+def test_dedup_lines_first_occurrence_wins(spark):
+    """C4-style line dedup: a duplicated line survives only at its first
+    (doc_id, pos); order preserved; blank lines never dropped; a doc that
+    loses everything yields an empty string."""
+    rows = [
+        (1, "alpha\nshared line\nbeta"),
+        (2, "shared line\ngamma\n\ndelta"),   # loses line 0, keeps blank
+        (3, "SHARED   LINE"),                 # normalization: dup of doc1
+        (4, "shared line"),                   # all content dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text_deduped"], r["n_lines"],
+                         r["n_lines_dropped"])
+           for r in dedup.dedup_lines(df).collect()}
+    assert got[1] == ("alpha\nshared line\nbeta", 3, 0)
+    assert got[2] == ("gamma\n\ndelta", 4, 1)
+    assert got[3] == ("", 1, 1)
+    assert got[4] == ("", 1, 1)
+
+
 def test_incremental_dedup_against_built_index(spark, docs_df, tmp_path):
     """Daily-ingestion shape: a new batch dedups against the kept-corpus
     MinHash index; a saved+reloaded index gives identical pairs, and the
