@@ -129,6 +129,15 @@ def _q_qf_scrub(spark, sf_dir):
     )
 
 
+def _q_qf_conv_filter(spark, sf_dir):
+    """Conversation-level rollup of the per-turn keep labels: a
+    conversation with > half its turns dropped is dropped whole (integer
+    share math — engine-exact)."""
+    t = transcripts.load(spark, sf_dir)
+    lab = pipeline.label_turns(t, CFG, with_models=False)
+    return pipeline.conversation_filter(lab, max_drop_permille=500)
+
+
 def _q_qf_reason_histogram(spark, sf_dir):
     lab = _q_qf_pipeline(spark, sf_dir)
     return (
@@ -649,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_features": _q_qf_features,
         "qf_scrub": _q_qf_scrub,
         "qf_reason_histogram": _q_qf_reason_histogram,
+        "qf_conv_filter": _q_qf_conv_filter,
         "qf_pipeline_full": _q_qf_pipeline_full,
         "qf_metrics": _q_qf_metrics,
         "qf_latency": _q_qf_latency,
@@ -796,6 +806,15 @@ lab AS (SELECT {all_reasons} AS rs FROM d)
 SELECT reason, count(*) AS n
 FROM (SELECT unnest(rs) AS reason FROM lab)
 GROUP BY reason
+"""
+
+    qf_conv_filter = f"""
+WITH {td},
+lab AS (SELECT conv_id, len({all_reasons}) = 0 AS keep FROM d)
+SELECT conv_id, count(*) AS n_turns,
+  count(*) FILTER (WHERE NOT keep) AS n_dropped,
+  count(*) FILTER (WHERE NOT keep) * 1000 <= 500 * count(*) AS conv_keep
+FROM lab GROUP BY conv_id
 """
 
     norm = ("regexp_replace(regexp_replace(lower(text), '[ \t\n\r]+', ' ',"
@@ -1135,6 +1154,7 @@ GROUP BY 1, 2
         "qf_features": qf_features,
         "qf_scrub": qf_scrub,
         "qf_reason_histogram": qf_reason_histogram,
+        "qf_conv_filter": qf_conv_filter,
         "qf_metrics": qf_metrics,
         "qf_latency": qf_latency,
         "qf_ruleset_diff": qf_ruleset_diff,

@@ -161,6 +161,41 @@ def observe_labels(labeled: DataFrame, name: str = "qf"):
     return out, obs
 
 
+def conversation_filter(labeled: DataFrame,
+                        max_drop_permille: int = 500) -> DataFrame:
+    """Conversation-LEVEL keep decision over per-turn labels: a
+    conversation survives iff its dropped-turn share is ≤
+    max_drop_permille/1000 (a mostly-junk conversation poisons its
+    surviving turns' context, so corpus curation drops it whole).
+
+    Integer share math (n_dropped·1000 ≤ permille·n_turns) — no float
+    division, engine-exact. One map-side-combinable aggregate keyed on
+    conv_id; join the result back (broadcast if small) to materialize the
+    filtered corpus."""
+    return (
+        labeled.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.count_if(~F.col("keep")).alias("n_dropped"),
+        )
+        .withColumn(
+            "conv_keep",
+            F.col("n_dropped") * 1000
+            <= F.lit(max_drop_permille) * F.col("n_turns"))
+    )
+
+
+def apply_conversation_filter(labeled: DataFrame,
+                              max_drop_permille: int = 500) -> DataFrame:
+    """Materialize the conversation-filtered corpus: kept turns of kept
+    conversations. The conv-keep table is (conv_id, bool) — tiny relative
+    to the turns — so the join-back broadcasts under AQE; no full-corpus
+    shuffle beyond the rollup aggregate."""
+    keep_convs = (conversation_filter(labeled, max_drop_permille)
+                  .filter(F.col("conv_keep")).select("conv_id"))
+    return labeled.filter(F.col("keep")).join(keep_convs, "conv_id")
+
+
 def stable_order(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Stable (conv_id, turn_idx) ordering: hash-partition by conv_id, sort
     within partitions. One shuffle; downstream readers see each conversation

@@ -178,3 +178,36 @@ def test_ruleset_diff_one_pass_both_directions(spark):
     with contextlib.redirect_stdout(buf):
         P.ruleset_diff(df, DEFAULT_RULESET, v2).explain()
     assert buf.getvalue().count("SortMergeJoin") == 0
+
+
+def test_conversation_filter_drops_majority_junk_convs(spark):
+    """Conversation-level rollup: a conversation with > permille share of
+    dropped turns is dropped whole; apply keeps only kept turns of kept
+    conversations."""
+    from datetime import datetime
+
+    from data_quality_check_spark.plans import pipeline as P
+
+    ts = datetime(2023, 11, 15)
+    good = " ".join(["the quick brown fox jumps ok fine"] * 3)
+    rows = ([("good", i, "user", good, None, ts) for i in range(4)]
+            # 'mixed': 1 of 4 turns junk (25% <= 50%) → kept
+            + [("mixed", 0, "user", "x", None, ts)]
+            + [("mixed", i, "user", good, None, ts) for i in range(1, 4)]
+            # 'junk': 3 of 4 turns junk (75% > 50%) → dropped whole
+            + [("junk", i, "user", "zz", None, ts) for i in range(3)]
+            + [("junk", 3, "user", good, None, ts)])
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    lab = P.label_turns(df, with_models=False)
+    got = {r["conv_id"]: (r["n_turns"], r["n_dropped"], r["conv_keep"])
+           for r in P.conversation_filter(lab, 500).collect()}
+    assert got["good"] == (4, 0, True)
+    assert got["mixed"] == (4, 1, True)
+    assert got["junk"][2] is False and got["junk"][1] >= 3
+    kept = {(r["conv_id"], r["turn_idx"]) for r in
+            P.apply_conversation_filter(lab, 500).collect()}
+    assert ("junk", 3) not in kept          # good turn of a dropped conv
+    assert ("mixed", 0) not in kept         # junk turn of a kept conv
+    assert {c for c, _ in kept} == {"good", "mixed"}
