@@ -4,11 +4,16 @@ The batch analog of the reference's standalone CLI mode
 (/root/reference/data-quality-server/src/main.rs:44-88 — one-record
 validation with an exit code) generalized to whole tables with resume:
 
-    spark-submit --py-files dqcs.zip -m data_quality_check_spark.cli \
+    zip -r dqcs.zip data_quality_check_spark
+    spark-submit --py-files dqcs.zip submit.py \
         --input  /data/transcripts \
         --output /data/labeled \
         [--no-models] [--no-resume] [--files-per-chunk 64] \
         [--output-partitions N] [--local N]
+
+(submit.py at the repo root is the spark-submit shim — spark-submit
+takes a script file, not -m; locally `python -m
+data_quality_check_spark.cli` works directly.)
 
 On a real cluster, run twice at N and 4N executors over the same input to
 measure scaling efficiency (locally: bench.py + BENCH/scaling.py evidence
