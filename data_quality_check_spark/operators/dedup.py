@@ -384,7 +384,9 @@ def dedup_lines(docs: DataFrame, text_col: str = "text") -> DataFrame:
     line) rows shuffle, grouped by the high-cardinality line hash — →
     re-assemble per doc (second shuffle on doc_id). Deterministic under
     any partitioning; empty/whitespace lines are never dropped (they
-    carry no content and would all collide)."""
+    carry no content and would all collide). Reassembly memory is bounded
+    by the INPUT row: a doc's collected lines total ≤ its original text,
+    which already existed as one row — no new giant-row failure mode."""
     from pyspark.sql import Window
 
     lines = docs.select(

@@ -188,9 +188,11 @@ def conversation_filter(labeled: DataFrame,
 def apply_conversation_filter(labeled: DataFrame,
                               max_drop_permille: int = 500) -> DataFrame:
     """Materialize the conversation-filtered corpus: kept turns of kept
-    conversations. The conv-keep table is (conv_id, bool) — tiny relative
-    to the turns — so the join-back broadcasts under AQE; no full-corpus
-    shuffle beyond the rollup aggregate."""
+    conversations. The conv-keep side is one row per conversation — AQE
+    broadcasts it while it fits; at 10^9+ conversations the join-back
+    degrades to a shuffle on conv_id, which downstream stable_order
+    repartitions on anyway (same key — the exchange is reused, not
+    added)."""
     keep_convs = (conversation_filter(labeled, max_drop_permille)
                   .filter(F.col("conv_keep")).select("conv_id"))
     return labeled.filter(F.col("keep")).join(keep_convs, "conv_id")
