@@ -176,6 +176,39 @@ def test_apply_dedup_keeps_representatives(spark, docs_df):
     assert kept == {0, 3, 5}
 
 
+def test_dedup_lines_duckdb_parity_fuzz(spark):
+    """Random multi-line corpora (shared/blank/whitespace-variant lines)
+    through BOTH engines — guards the normalization-regex and
+    first-occurrence parity beyond the fixed gate fixture."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(17)
+    pool = ["alpha beta", "  spaced   out ", "SHOUTY LINE", "", "\t",
+            "unique %d", "shared chorus line", "another body %d",
+            "trailing space ", "mixed Case Words"]
+    rows = []
+    for d in range(80):
+        lines = []
+        for _ in range(rng.randint(0, 6)):
+            x = rng.choice(pool)
+            if "%d" in x:
+                x = x % (d if rng.random() < 0.5 else rng.randint(0, 9))
+            lines.append(x)
+        rows.append((d, "\n".join(lines)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text_deduped"], r["n_lines"],
+                         r["n_lines_dropped"])
+           for r in dedup.dedup_lines(df).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    sql = dedup.dedup_lines_sql("SELECT doc_id, text FROM docs")
+    want = {r[0]: (r[1], r[2], r[3]) for r in con.execute(sql).fetchall()}
+    assert got == want
+
+
 def test_dedup_lines_first_occurrence_wins(spark):
     """C4-style line dedup: a duplicated line survives only at its first
     (doc_id, pos); order preserved; blank lines never dropped; a doc that
