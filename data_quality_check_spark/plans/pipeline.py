@@ -77,6 +77,7 @@ def label_turns(
     keep_features: bool = False,
     dup_strategy: str = "broadcast",
     measure_latency: bool = False,
+    models_on_survivors: bool = False,
 ) -> DataFrame:
     """Add keep/drop_reasons/text_scrubbed (+ lang/lang_conf/ppl) columns.
 
@@ -85,7 +86,15 @@ def label_turns(
     `measure_latency=True` (models only) also emits `batch_us` — the
     measured per-Arrow-batch scoring duration (D10 histogram source,
     operators/latency.py); score values are bit-identical either way.
-    """
+
+    `models_on_survivors=True` is the cheap-filters-first 100 TB mode:
+    rows already dropped by the validation/heuristic rules feed NULL text
+    into the scoring UDF (near-zero hashing work — Spark does not
+    guarantee conditional-UDF skipping, so nulling the INPUT is the
+    reliable form) and emit NULL lang/lang_conf/ppl. Keep/drop decisions
+    are IDENTICAL to the eager mode (model rules can only re-drop
+    survivors); only the scored columns of already-dropped rows differ,
+    which is why the gate keeps the eager default."""
     text = F.col("text")
     in_cols = df.columns
 
@@ -109,14 +118,24 @@ def label_turns(
         if bc_models is None:
             bc_models = broadcast_models(df.sparkSession)
         scores = make_scores_udf(bc_models, timed=measure_latency)
-        out = out.withColumn("_scores", scores(text))
-        lang = F.col("_scores.lang")
-        lang_conf = F.col("_scores.lang_conf")
-        ppl = F.col("_scores.ppl")
+        if models_on_survivors:
+            # rule-only keep decision, evaluated BEFORE the model pass
+            rule_keep = F.size(rules.reasons_array(flags)) == 0
+            out = out.withColumn("_rk", rule_keep)
+            out = out.withColumn(
+                "_scores", scores(F.when(F.col("_rk"), text)))
+            guard = F.col("_rk")
+        else:
+            out = out.withColumn("_scores", scores(text))
+            guard = F.lit(True)
+        lang = F.when(guard, F.col("_scores.lang"))
+        lang_conf = F.when(guard, F.col("_scores.lang_conf"))
+        ppl = F.when(guard, F.col("_scores.ppl"))
         flags = flags + [
-            ("lang_conf", text.isNotNull()
-             & (lang_conf < cfg.min_lang_conf)),
-            ("perplexity", text.isNotNull() & (ppl > cfg.max_perplexity)),
+            ("lang_conf", guard & text.isNotNull()
+             & (F.col("_scores.lang_conf") < cfg.min_lang_conf)),
+            ("perplexity", guard & text.isNotNull()
+             & (F.col("_scores.ppl") > cfg.max_perplexity)),
         ]
 
     drop_reasons = rules.reasons_array(flags)

@@ -211,3 +211,36 @@ def test_conversation_filter_drops_majority_junk_convs(spark):
     assert ("junk", 3) not in kept          # good turn of a dropped conv
     assert ("mixed", 0) not in kept         # junk turn of a kept conv
     assert {c for c, _ in kept} == {"good", "mixed"}
+
+
+def test_models_on_survivors_same_decisions(spark, bc_models):
+    """Cheap-filters-first mode: keep/drop and drop_reasons identical to
+    eager scoring; scored columns are NULL exactly for rule-dropped rows."""
+    from datetime import datetime
+
+    from data_quality_check_spark.plans import pipeline as P
+
+    ts = datetime(2023, 11, 15)
+    good = " ".join(["the quick brown fox jumps over the lazy dog"] * 4)
+    rows = [("c1", 0, "user", good, None, ts),
+            ("c1", 1, "user", "x", None, ts),            # rule-dropped
+            ("c1", 2, "user", "@@@@ #### $$$$ %%%%", None, ts),
+            ("c1", 3, "assistant", good + " indeed", None, ts)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    eager = {r["turn_idx"]: r for r in P.label_turns(
+        df, bc_models=bc_models).collect()}
+    lazy = {r["turn_idx"]: r for r in P.label_turns(
+        df, bc_models=bc_models, models_on_survivors=True).collect()}
+    assert {i: r["keep"] for i, r in eager.items()} \
+        == {i: r["keep"] for i, r in lazy.items()}
+    for i in eager:
+        if eager[i]["keep"] or set(eager[i]["drop_reasons"]) <= {
+                "lang_conf", "perplexity"}:
+            # survivor of the RULES: scored identically in both modes
+            assert lazy[i]["lang"] == eager[i]["lang"]
+            assert lazy[i]["ppl"] == eager[i]["ppl"]
+            assert lazy[i]["drop_reasons"] == eager[i]["drop_reasons"]
+        else:
+            assert lazy[i]["lang"] is None and lazy[i]["ppl"] is None
