@@ -55,6 +55,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--measure-latency", action="store_true",
                     help="record per-chunk scoring-latency percentiles "
                          "(D10 duration histogram) under latency/")
+    ap.add_argument("--lazy-scoring", action="store_true",
+                    help="cheap-filters-first: score only rule-survivors "
+                         "(NULL lang/ppl for rule-dropped turns)")
     ap.add_argument("--files-per-chunk", type=int, default=16)
     ap.add_argument("--output-partitions", type=int, default=None)
     ap.add_argument("--local", type=int, default=None,
@@ -77,6 +80,7 @@ def main(argv: list[str] | None = None) -> int:
         files_per_chunk=args.files_per_chunk,
         output_partitions=args.output_partitions,
         measure_latency=args.measure_latency,
+        models_on_survivors=args.lazy_scoring,
     )
     n = dq_io.read_output(spark, args.output).count()
     print(json.dumps({

@@ -106,6 +106,7 @@ def run_job(
     fail_before_commit: int | None = None,
     measure_latency: bool = False,
     max_records_per_file: int | None = None,
+    models_on_survivors: bool = False,
 ) -> JobReport:
     """Run (or resume) the labeling job over `input_path`.
 
@@ -142,7 +143,8 @@ def run_job(
         timed = measure_latency and with_models
         labeled = pipeline.label_turns(
             df, cfg, with_models=with_models, bc_models=bc_models,
-            measure_latency=timed)
+            measure_latency=timed,
+            models_on_survivors=models_on_survivors)
         persisted = None
         if timed:
             # Persist across the three consumers (latency, turns, metrics):
