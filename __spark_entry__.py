@@ -448,6 +448,36 @@ def _q_sample_split(spark, sf_dir):
     )
 
 
+STRATA_FRACS = {"en": 0.5, "de": 0.9, "fr": 0.75}
+STRATA_DEFAULT = 0.25
+
+
+def _q_sample_stratified(spark, sf_dir):
+    """Corpus BALANCING: per-language deterministic sampling (downsample
+    the dominant en, keep rare languages at higher rates; unlisted
+    strata at the default) — zero shuffle, append-stable."""
+    from data_quality_check_spark.operators import sampling
+
+    d = _docs(spark, sf_dir)
+    return sampling.stratified_sample(
+        d, "doc_id", "lang", STRATA_FRACS, STRATA_DEFAULT
+    ).select("doc_id", "lang")
+
+
+PACK_BUDGET = 4096  # tokens per training shard (gate-sized)
+
+
+def _q_pack_shards(spark, sf_dir):
+    """Token-budget shard packing: greedy contiguous packing in global
+    doc_id order via a DISTRIBUTED exclusive prefix sum (range partition
+    + local cumsum + broadcast offsets — no single-partition window)."""
+    from data_quality_check_spark.operators import sampling
+
+    t = textstats.token_counts(_docs(spark, sf_dir)) \
+        .select("doc_id", "n_tokens")
+    return sampling.pack_shards(t, budget=PACK_BUDGET)
+
+
 def _q_text_chunks(spark, sf_dir):
     """Context-window chunking (64-token windows, 16-token overlap) —
     narrow expressions only, chunks at scan speed."""
@@ -684,6 +714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "text_chunks": _q_text_chunks,
         "sample_split": _q_sample_split,
+        "sample_stratified": _q_sample_stratified,
+        "pack_shards": _q_pack_shards,
         "vocab_topk": _q_vocab_topk,
         "lang_stats": _q_lang_stats,
         "profile_documents": _q_profile_documents,
@@ -1179,6 +1211,14 @@ GROUP BY 1, 2
         "text_fingerprint": text_fingerprint,
         "text_chunks": text_chunks,
         "sample_split": sample_split,
+        "sample_stratified": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            + sampling.stratified_sample_sql(
+                "doc_id", "lang", STRATA_FRACS, STRATA_DEFAULT)),
+        "pack_shards": sampling.pack_shards_sql(
+            PACK_BUDGET,
+            "coalesce(len(list_filter(string_split_regex(text,"
+            " '[ \t\n\r]+'), w -> w <> '')), 0)"),
         "vocab_topk": vocab_topk,
         "lang_stats": lang_stats,
         "profile_documents": profile_mod.profile_table_sql(

@@ -90,6 +90,108 @@ def split_column(key_col: str, weights: dict[str, float]) -> Column:
     return expr
 
 
+def _keep_cond(h: Column, frac: float) -> Column:
+    """Keep condition for one fraction with the full/empty short-circuits
+    (see _bucket: the full-space threshold has no comparable rendering)."""
+    b = _bucket(frac)
+    if b >= _SPACE:
+        return F.lit(True)
+    if b <= 0:
+        return F.lit(False)
+    return h < F.lit(_thresh_hex(b))
+
+
+def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
+                      fracs: dict[str, float],
+                      default_frac: float = 0.0) -> DataFrame:
+    """Per-stratum deterministic sampling — corpus BALANCING (downsample
+    the dominant language/domain, keep the rare ones whole). A row is
+    kept iff its hex draw clears its OWN stratum's threshold; strata not
+    listed use default_frac. Same key-hash discipline as sample_fraction:
+    zero shuffle, append-stable, engine-identical."""
+    h = _key_hex(F.col(key_col))
+    keep = _keep_cond(h, default_frac)
+    for name, frac in fracs.items():
+        keep = F.when(F.col(strata_col) == name,
+                      _keep_cond(h, frac)).otherwise(keep)
+    return df.filter(keep)
+
+
+def stratified_sample_sql(key_expr: str, strata_expr: str,
+                          fracs: dict[str, float],
+                          default_frac: float = 0.0) -> str:
+    """DuckDB boolean twin of stratified_sample (same thresholds, same
+    short-circuits, same arm order)."""
+    h = key_hex_sql(key_expr)
+
+    def cond(frac: float) -> str:
+        b = _bucket(frac)
+        if b >= _SPACE:
+            return "TRUE"
+        if b <= 0:
+            return "FALSE"
+        return f"{h} < '{_thresh_hex(b)}'"
+
+    arms = " ".join(f"WHEN {strata_expr} = '{n}' THEN {cond(f)}"
+                    for n, f in fracs.items())
+    return f"CASE {arms} ELSE {cond(default_frac)} END"
+
+
+def pack_shards(df: DataFrame, budget: int, id_col: str = "doc_id",
+                tokens_col: str = "n_tokens") -> DataFrame:
+    """Token-budget SHARD PACKING for training: documents are packed
+    greedily in global id order and shard_id = exclusive-prefix-sum DIV
+    budget — every shard holds ≤ budget tokens (plus at most the one
+    document that straddles the boundary), reproducibly.
+
+    Scale shape — a distributed exclusive prefix sum, never a
+    single-partition global window: range-partition on id (pinned with
+    localCheckpoint so the captured partition ids are stable), local
+    window cumsum per partition, plus a broadcast map of per-partition
+    offsets (one scalar per partition — driver-bounded). Output depends
+    only on the global id order, not on where the range boundaries land.
+    Integer DIV keeps shard ids exact at any corpus size (no float
+    division of 10^15-token cumsums)."""
+    from pyspark.sql import Window
+
+    t = df.select(F.col(id_col),
+                  F.col(tokens_col).cast("long").alias("_n"))
+    parts = (t.repartitionByRange(F.col(id_col))
+             .withColumn("_pid", F.spark_partition_id())
+             .localCheckpoint())
+    psums = (parts.groupBy("_pid").agg(F.sum("_n").alias("_ps"))
+             .orderBy("_pid").collect())
+    offsets, acc = {}, 0
+    for r in psums:
+        offsets[int(r["_pid"])] = acc
+        acc += int(r["_ps"])
+    omap = F.create_map(*[x for pid, off in offsets.items()
+                          for x in (F.lit(pid), F.lit(off))])
+    w = (Window.partitionBy("_pid").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    excl = F.sum("_n").over(w) - F.col("_n") + omap[F.col("_pid")]
+    return (parts.select(F.col(id_col), F.col("_n").alias(tokens_col),
+                         excl.cast("long").alias("_excl"))
+            .withColumn("shard_id", F.expr(f"_excl DIV {int(budget)}"))
+            .drop("_excl"))
+
+
+def pack_shards_sql(budget: int, tokens_expr: str,
+                    table: str = "documents",
+                    id_col: str = "doc_id") -> str:
+    """DuckDB twin of pack_shards: plain window cumsum (the oracle can
+    afford the single global order)."""
+    return f"""
+WITH t AS (SELECT {id_col}, CAST({tokens_expr} AS BIGINT) AS n_tokens
+           FROM {table})
+SELECT {id_col}, n_tokens,
+  CAST(coalesce(sum(n_tokens) OVER (ORDER BY {id_col}
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+    // {budget} AS BIGINT) AS shard_id
+FROM t
+"""
+
+
 def split_column_sql(key_expr: str, weights: dict[str, float]) -> str:
     """DuckDB twin of split_column, generated from the same weights (same
     bucket short-circuits, same arm order — the engines cannot drift)."""

@@ -312,3 +312,52 @@ def test_corpus_drift_detects_mix_shift(spark):
     assert got["en"]["share_delta_pm"] == -300      # 80% → 50%
     assert got["de"]["n_new"] == 0                  # vanished value
     assert got["fr"]["n_old"] == 0 and got["fr"]["share_delta_pm"] == 500
+
+
+def test_stratified_sample_rates_and_subset(spark):
+    from data_quality_check_spark.operators import sampling
+    from pyspark.sql import functions as F
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, "en").otherwise("xx").alias("lang"))
+    kept = sampling.stratified_sample(
+        df, "doc_id", "lang", {"en": 0.5}, default_frac=0.1)
+    counts = {r["lang"]: r["n"] for r in
+              kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["en"] / 1000 - 0.5) < 0.08
+    assert abs(counts["xx"] / 3000 - 0.1) < 0.05
+    # monotone subset: raising a stratum's fraction only ADDS rows
+    more = sampling.stratified_sample(
+        df, "doc_id", "lang", {"en": 0.8}, default_frac=0.1)
+    a = {r["doc_id"] for r in kept.collect()}
+    b = {r["doc_id"] for r in more.collect()}
+    assert a <= b
+
+
+def test_pack_shards_matches_serial_cumsum(spark):
+    from data_quality_check_spark.operators import sampling
+    from pyspark.sql import functions as F
+
+    n = 500
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 37 + 1).alias("n_tokens"))
+    got = {r["doc_id"]: r["shard_id"] for r in
+           sampling.pack_shards(df, budget=100).collect()}
+    toks = [(i % 37) + 1 for i in range(n)]
+    acc, want = 0, {}
+    for i in range(n):
+        want[i] = acc // 100
+        acc += toks[i]
+    assert got == want
+    # partitioning invariance: the distributed prefix sum must not depend
+    # on the input layout
+    got13 = {r["doc_id"]: r["shard_id"] for r in
+             sampling.pack_shards(df.repartition(13), budget=100).collect()}
+    assert got13 == want
+    # shard ids are windows of the token axis: monotone in doc order and
+    # bounded by ceil(total/budget) (a straddling doc may leave its next
+    # window sparse — inherent to start-window packing, not a bug)
+    assert list(got[i] for i in range(n)) == sorted(got[i] for i in range(n))
+    assert max(want.values()) <= (sum(toks) - 1) // 100
