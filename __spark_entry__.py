@@ -466,6 +466,45 @@ def _q_sample_stratified(spark, sf_dir):
 
 PACK_BUDGET = 4096  # tokens per training shard (gate-sized)
 
+# fixture for the COMPOSED curation gate: dedup-fixture texts (injected
+# exact duplicates on the %17 schedule) + the lang column the stratified
+# stage needs — identical derivation in both engines
+CURATION_FIXTURE_SQL = """
+SELECT doc_id,
+  CASE WHEN doc_id % 17 = 0
+       THEN 'Shared boilerplate block ' || CAST(doc_id % 3 AS STRING)
+            || ' — terms and conditions apply.'
+       ELSE text END AS text,
+  lang
+FROM documents
+"""
+
+
+def _q_corpus_curation(spark, sf_dir):
+    """CAPSTONE composition — the whole curation pipeline as ONE chained
+    plan: heuristic quality filter → exact-dedup (keep min-doc_id
+    representative per normalized fingerprint) → per-language stratified
+    balancing → token-budget shard packing. Every stage is an already-
+    oracled public operator; this gate proves they COMPOSE and stays
+    hash-checked end to end."""
+    from pyspark.sql import Window
+
+    from data_quality_check_spark.operators import sampling
+
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    d = spark.sql(CURATION_FIXTURE_SQL)
+    q = textstats.quality_scores(d, CFG).filter("passes").select("doc_id")
+    s1 = d.join(q, "doc_id")
+    w = Window.partitionBy(
+        F.md5(dedup.normalize_text(F.col("text")))).orderBy("doc_id")
+    s2 = (s1.withColumn("_rn", F.row_number().over(w))
+          .filter("_rn = 1").drop("_rn"))
+    s3 = sampling.stratified_sample(s2, "doc_id", "lang",
+                                    STRATA_FRACS, STRATA_DEFAULT)
+    t = textstats.token_counts(s3).select("doc_id", "n_tokens")
+    packed = sampling.pack_shards(t, budget=PACK_BUDGET)
+    return packed.join(s3.select("doc_id", "lang"), "doc_id")
+
 
 def _q_pack_shards(spark, sf_dir):
     """Token-budget shard packing: greedy contiguous packing in global
@@ -716,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": _q_sample_split,
         "sample_stratified": _q_sample_stratified,
         "pack_shards": _q_pack_shards,
+        "corpus_curation": _q_corpus_curation,
         "vocab_topk": _q_vocab_topk,
         "lang_stats": _q_lang_stats,
         "profile_documents": _q_profile_documents,
@@ -1056,6 +1096,37 @@ SELECT doc_id,
 FROM documents
 """
 
+    # composed curation twin: quality WHERE → fingerprint row_number
+    # dedup → stratified WHERE → window-cumsum packing, each stage the
+    # SAME generated expressions as its standalone gate
+    corpus_curation = f"""
+WITH fx AS ({CURATION_FIXTURE_SQL}),
+q AS (SELECT doc_id, text, lang FROM fx WHERE len({doc_reasons}) = 0),
+d2 AS (
+  SELECT doc_id, text, lang FROM (
+    SELECT doc_id, text, lang,
+      row_number() OVER (PARTITION BY md5({norm}) ORDER BY doc_id) AS rn
+    FROM q) WHERE rn = 1
+),
+s3 AS (
+  SELECT doc_id, text, lang FROM d2
+  WHERE {sampling.stratified_sample_sql('doc_id', 'lang', STRATA_FRACS,
+                                        STRATA_DEFAULT)}
+),
+t AS (
+  SELECT doc_id, lang,
+    CAST(coalesce(len(list_filter(string_split_regex(text, '[ \t\n\r]+'),
+         w -> w <> '')), 0) AS BIGINT) AS n_tokens
+  FROM s3
+)
+SELECT doc_id, n_tokens,
+  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+    // {PACK_BUDGET} AS BIGINT) AS shard_id,
+  lang
+FROM t
+"""
+
     text_chunks = textstats.chunk_documents_sql(max_tokens=64, overlap=16)
     vocab_topk = textstats.vocab_topk_sql(k=100)
     lang_stats = textstats.LANG_STATS_SQL
@@ -1215,6 +1286,7 @@ GROUP BY 1, 2
             "SELECT doc_id, lang FROM documents WHERE "
             + sampling.stratified_sample_sql(
                 "doc_id", "lang", STRATA_FRACS, STRATA_DEFAULT)),
+        "corpus_curation": corpus_curation,
         "pack_shards": sampling.pack_shards_sql(
             PACK_BUDGET,
             "coalesce(len(list_filter(string_split_regex(text,"
