@@ -151,7 +151,9 @@ def pack_shards(df: DataFrame, budget: int, id_col: str = "doc_id",
     offsets (one scalar per partition — driver-bounded). Output depends
     only on the global id order, not on where the range boundaries land.
     Integer DIV keeps shard ids exact at any corpus size (no float
-    division of 10^15-token cumsums)."""
+    division of 10^15-token cumsums). The offsets ride as a literal map
+    expression — fine up to ~10^4 partitions; beyond that, swap for a
+    broadcast join on _pid (same plan shape, smaller serialized plan)."""
     from pyspark.sql import Window
 
     t = df.select(F.col(id_col),
