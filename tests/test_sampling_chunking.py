@@ -361,3 +361,30 @@ def test_pack_shards_matches_serial_cumsum(spark):
     # window sparse — inherent to start-window packing, not a bug)
     assert list(got[i] for i in range(n)) == sorted(got[i] for i in range(n))
     assert max(want.values()) <= (sum(toks) - 1) // 100
+
+
+def test_stratified_sample_sql_twin_boundary_fuzz(spark, docs):
+    """Random per-stratum fractions INCLUDING the 0.0/1.0 boundaries
+    through both engines — the frac≈1.0 hex-rendering hazard (ADVICE r02)
+    must stay short-circuited in every generated arm."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(31)
+    langs = ["en", "de", "fr", "es", "zh"]
+    for trial in range(6):
+        fracs = {l: rng.choice([0.0, 1.0, 0.9999999, rng.random()])
+                 for l in rng.sample(langs, rng.randint(1, 4))}
+        dflt = rng.choice([0.0, 1.0, rng.random()])
+        got = sorted(r["doc_id"] for r in sampling.stratified_sample(
+            docs, "doc_id", "lang", fracs, dflt).select("doc_id").collect())
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"'{SF}/documents.parquet'")
+        want = sorted(r[0] for r in con.execute(
+            "SELECT doc_id FROM documents WHERE "
+            + sampling.stratified_sample_sql("doc_id", "lang", fracs, dflt)
+        ).fetchall())
+        con.close()
+        assert got == want, (trial, fracs, dflt)
