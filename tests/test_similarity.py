@@ -150,6 +150,52 @@ def test_hot_bucket_guard_bounds_adversarial_input(spark):
                if got_ivf.get(i) is not None and got_ivf[i] < 3000) >= 2900
 
 
+def test_scorer_group_inputs_bounded_before_materialization(spark):
+    """r3 verdict #1: the member cap must act BEFORE the applyInPandas
+    shuffle — applyInPandas materializes the WHOLE group as one pandas
+    frame, so the bound has to hold on the scorer's INPUT rows. 120k rows
+    on one degenerate key: assert every (key, salt) group carries at most
+    max_group member rows and ~salt_target probe rows."""
+    from pyspark.sql import functions as F
+
+    n, cap, tgt = 120_000, 64, 512
+    post = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.lit(0).alias("table"), F.lit(0).alias("bucket"),
+        F.lit(b"\x7f\x00\x01\x02").alias("code"),
+        F.lit(1.0).alias("scale"))
+    g = similarity._bounded_groups(post, post, ["table", "bucket"],
+                                   "vec_id", max_group=cap, salt_target=tgt)
+    counts = (g.groupBy("table", "bucket", "salt", "probe").count()
+              .collect())
+    mem_max = max(r["count"] for r in counts if r["probe"] == 0)
+    probe_max = max(r["count"] for r in counts if r["probe"] == 1)
+    n_salts = len({r["salt"] for r in counts})
+    assert mem_max <= cap
+    # xxhash64 salting is uniform, not exact — allow 2x headroom
+    assert probe_max <= 2 * tgt
+    assert n_salts == -(-n // tgt)
+    # every probe row lands in exactly one salt (pairs emitted once)
+    assert sum(r["count"] for r in counts if r["probe"] == 1) == n
+
+
+def test_hot_bucket_guard_end_to_end_100k_clones(spark):
+    """The r3 verdict's done-bar: 10^5+ identical embeddings through the
+    REAL lsh_topk — every clone still finds a clone neighbor (cos 1.0
+    against the capped pool) and no group ever held the whole class."""
+    from pyspark.sql import functions as F
+
+    vec = F.array(*[F.lit(x) for x in (0.3, -0.7, 0.64, 0.11)])
+    df = spark.range(100_000).select(
+        F.col("id").alias("vec_id"),
+        vec.cast("array<float>").alias("embedding"))
+    got = similarity.lsh_topk(df, k=1, max_group=64).collect()
+    assert len(got) == 100_000
+    hits = sum(1 for r in got if r["neighbor_id"] < 64)
+    # capped member pool = 64 smallest ids; every query matches one
+    assert hits == 100_000
+
+
 def test_zero_norm_embeddings_never_match(spark):
     """A zero vector must never pass a positive cosine threshold or win a
     top-1 slot via NaN (NaN compares greater than any double in SQL)."""
