@@ -379,16 +379,19 @@ def dedup_lines(docs: DataFrame, text_col: str = "text") -> DataFrame:
     (doc_id, text_deduped, n_lines, n_lines_dropped) with original line
     order preserved.
 
-    Plan: posexplode lines (narrow) → normalized-line md5 → one window
-    over the HASH key ranked by (doc_id, pos) — only (hash, doc_id, pos,
-    line) rows shuffle, grouped by the high-cardinality line hash — →
-    re-assemble per doc (second shuffle on doc_id). Deterministic under
-    any partitioning; empty/whitespace lines are never dropped (they
-    carry no content and would all collide). Reassembly memory is bounded
-    by the INPUT row: a doc's collected lines total ≤ its original text,
-    which already existed as one row — no new giant-row failure mode."""
-    from pyspark.sql import Window
-
+    Plan: posexplode lines (narrow) → normalized-line md5 → FIRST
+    OCCURRENCE per hash via groupBy(hash).min(struct(doc_id, pos)) joined
+    back on the hash — NOT a rank window: the most-duplicated boilerplate
+    line (exactly what this operator targets) is one hot key, and a
+    window would serialize all its copies into a single partition's sort,
+    while the min-struct aggregate is map-side combinable (each input
+    partition contributes one candidate per distinct line) and the
+    join-back is a skew-splittable SMJ under AQE — → re-assemble per doc
+    (shuffle on doc_id). Deterministic under any partitioning;
+    empty/whitespace lines are never dropped (they carry no content and
+    would all collide). Reassembly memory is bounded by the INPUT row: a
+    doc's collected lines total ≤ its original text, which already
+    existed as one row — no new giant-row failure mode."""
     lines = docs.select(
         "doc_id",
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
@@ -397,9 +400,12 @@ def dedup_lines(docs: DataFrame, text_col: str = "text") -> DataFrame:
                                              "[ \t\r]+", " "), "^ | $", "")
     hashed = lines.withColumn("_blank", norm == "") \
         .withColumn("_h", F.md5(norm))
-    w = Window.partitionBy("_h").orderBy("doc_id", "pos")
-    ranked = hashed.withColumn(
-        "_keep", F.col("_blank") | (F.row_number().over(w) == 1))
+    firsts = (hashed.filter(~F.col("_blank"))
+              .groupBy("_h")
+              .agg(F.min(F.struct("doc_id", "pos")).alias("_first")))
+    ranked = (hashed.join(firsts, "_h", "left")
+              .withColumn("_keep", F.col("_blank")
+                          | (F.struct("doc_id", "pos") == F.col("_first"))))
     return (
         ranked.groupBy("doc_id")
         .agg(
@@ -815,17 +821,23 @@ def apply_dedup(docs: DataFrame, groups: DataFrame,
     shuffling, but the drop set is O(corpus × dup-rate) — at a realistic
     30-50 % duplication rate over 100 TB it is billions of ids, and an
     UNCONDITIONAL broadcast is an executor/driver OOM. So the drop set is
-    lazily checkpointed (ids only — counted once, joined once, never
-    recomputed through the CC lineage) and broadcasts only when its count
-    is within `max_broadcast_drops` (default 10^6 ids ≈ 8 MB); above that
-    the anti-join falls back to a plain shuffle on `id_col`, where AQE may
-    still pick a broadcast at runtime if actual bytes allow. Pass None to
-    always take the shuffled path.
+    lazily checkpointed (ids only) and broadcasts only when a BOUNDED
+    probe — limit(max+1).count(), whose cost is capped by the threshold,
+    not the drop-set size — stays within `max_broadcast_drops` (default
+    10^6 ids ≈ 8 MB); above that the anti-join falls back to a plain
+    shuffle on `id_col`, where AQE may still pick a broadcast at runtime
+    if actual bytes allow. Pass None to always take the shuffled path.
+
+    NOTE: with the guard enabled this function runs an EAGER Spark job at
+    plan-construction time (the probe count). Callers composing plans
+    without executing them should pass max_broadcast_drops=None to stay
+    fully lazy.
     """
     drops = (groups.filter(F.col(id_col) != F.col("group_id"))
              .select(id_col))
     if max_broadcast_drops is not None:
         drops = drops.localCheckpoint(eager=False)
-        if drops.count() <= max_broadcast_drops:
+        probe = drops.limit(max_broadcast_drops + 1).count()
+        if probe <= max_broadcast_drops:
             return docs.join(F.broadcast(drops), id_col, "left_anti")
     return docs.join(drops, id_col, "left_anti")

@@ -47,6 +47,13 @@ def key_hex_sql(key_expr: str) -> str:
     return f"substr(md5(CAST({key_expr} AS VARCHAR)), 1, {HEX_DIGITS})"
 
 
+def _sql_str(s: str) -> str:
+    """SQL string literal with embedded quotes doubled — generated twins
+    must survive arbitrary stratum/split names, not just the fixture
+    vocabulary (a name containing ' would otherwise break the SQL)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 def sample_fraction(df: DataFrame, key_col: str, frac: float) -> DataFrame:
     """Keep ≈frac of rows, deterministically by key. A row is kept iff its
     hex draw < thresh — the same rows every run, every engine, every
@@ -132,7 +139,7 @@ def stratified_sample_sql(key_expr: str, strata_expr: str,
             return "FALSE"
         return f"{h} < '{_thresh_hex(b)}'"
 
-    arms = " ".join(f"WHEN {strata_expr} = '{n}' THEN {cond(f)}"
+    arms = " ".join(f"WHEN {strata_expr} = {_sql_str(n)} THEN {cond(f)}"
                     for n, f in fracs.items())
     return f"CASE {arms} ELSE {cond(default_frac)} END"
 
@@ -210,5 +217,5 @@ def split_column_sql(key_expr: str, weights: dict[str, float]) -> str:
             cond = "FALSE"
         else:
             cond = f"{h} < '{_thresh_hex(b)}'"
-        arms.append(f"WHEN {cond} THEN '{name}'")
-    return "CASE " + " ".join(arms) + f" ELSE '{names[-1]}' END"
+        arms.append(f"WHEN {cond} THEN {_sql_str(name)}")
+    return "CASE " + " ".join(arms) + f" ELSE {_sql_str(names[-1])} END"

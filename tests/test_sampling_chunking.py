@@ -388,3 +388,38 @@ def test_stratified_sample_sql_twin_boundary_fuzz(spark, docs):
         ).fetchall())
         con.close()
         assert got == want, (trial, fracs, dflt)
+
+
+def test_stratified_and_split_sql_quote_escaping(spark):
+    """r3 verdict #7: stratum/split names containing a single quote must
+    round-trip through the generated DuckDB twins (previously raw
+    interpolation would break the SQL — or worse, silently mangle it)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    names = ["o'brien", "plain", "it''s"]
+    rows = [(i, names[i % 3]) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    fracs = {"o'brien": 0.7, "it''s": 0.4}
+    got = sorted(r["doc_id"] for r in sampling.stratified_sample(
+        df, "doc_id", "lang", fracs, 0.2).select("doc_id").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, lang VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(r[0] for r in con.execute(
+        "SELECT doc_id FROM t WHERE "
+        + sampling.stratified_sample_sql("doc_id", "lang", fracs, 0.2)
+    ).fetchall())
+    assert got == want
+
+    weights = {"tr'ain": 0.6, "v'al": 0.4}
+    got_s = sorted(
+        (r["doc_id"], r["s"]) for r in df.select(
+            "doc_id",
+            sampling.split_column("doc_id", weights).alias("s")).collect())
+    want_s = sorted(tuple(r) for r in con.execute(
+        f"SELECT doc_id, {sampling.split_column_sql('doc_id', weights)}"
+        " AS s FROM t").fetchall())
+    con.close()
+    assert got_s == want_s
