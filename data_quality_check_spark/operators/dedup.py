@@ -489,28 +489,82 @@ def minhash_build(docs: DataFrame, k: int = MINHASH_K,
     return MinHashIndex(sig, k, bands)
 
 
-def minhash_save(index: MinHashIndex, path: str) -> None:
-    """Persist the index across jobs: signatures as parquet + params.
-    At 10^12 docs, write bucketed on doc_id so the candidate join-back
-    co-locates."""
-    import json
+_META_SCHEMA = "k int, n_bands int, buckets int, table string"
+
+
+def _write_meta(spark, path: str, row: tuple, schema: str) -> None:
+    """Index metadata as a one-row Spark JSON dataset — written through
+    the SAME storage layer as the posting/signature tables, so save/load
+    works wherever the data does (s3://, hdfs://, ...); a driver-local
+    open()/os.replace would silently require a local filesystem on the
+    advertised cluster deployments (r3 ADVICE)."""
     import os
 
-    index.sigs.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
-    tmp = os.path.join(path, ".meta.tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"k": index.k, "n_bands": index.n_bands}, fh)
-    os.replace(tmp, os.path.join(path, "meta.json"))
+    (spark.createDataFrame([row], schema).coalesce(1)
+     .write.mode("overwrite").json(os.path.join(path, "meta")))
+
+
+def _read_meta(spark, path: str, schema: str):
+    import os
+
+    return spark.read.schema(schema).json(os.path.join(path, "meta")).first()
+
+
+def _bucket_table_name(path: str) -> str:
+    import re
+
+    return "mh_sigs_" + re.sub(r"\W+", "_", path).strip("_")[-48:]
+
+
+def minhash_save(index: MinHashIndex, path: str,
+                 buckets: int | None = None,
+                 table: str | None = None) -> None:
+    """Persist the index across jobs: signatures + params, all written
+    through Spark (no driver-local filesystem assumptions).
+
+    `buckets`: write the signature table BUCKETED + SORTED on doc_id (an
+    external table at path/sigs registered as `table`, default derived
+    from the path) — the 10^12-doc shape: the candidate join-back keys on
+    doc_id, and a bucketed index side joins with ZERO exchange on the
+    index (pay the shuffle once at build time, never per batch;
+    plan-asserted in tests/test_dedup.py). Bucketed METADATA lives in the
+    session catalog — on a cluster that is the shared metastore; loading
+    from a catalog that lacks the table falls back to a plain parquet
+    read of the same files (correct, just re-shuffled per join)."""
+    import os
+
+    spark = index.sigs.sparkSession
+    if buckets:
+        name = table or _bucket_table_name(path)
+        (index.sigs.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+         .option("path", os.path.join(path, "sigs"))
+         .mode("overwrite").format("parquet").saveAsTable(name))
+    else:
+        name = None
+        index.sigs.write.mode("overwrite").parquet(
+            os.path.join(path, "sigs"))
+    _write_meta(spark, path,
+                (index.k, index.n_bands, buckets or 0, name or ""),
+                _META_SCHEMA)
 
 
 def minhash_load(spark, path: str) -> MinHashIndex:
-    import json
+    """Load a saved index; a bucketed save is read through its catalog
+    table (zero-exchange join-back), falling back to the plain parquet
+    files when the catalog doesn't know it (fresh session, no shared
+    metastore)."""
     import os
 
-    with open(os.path.join(path, "meta.json")) as fh:
-        meta = json.load(fh)
-    sigs = spark.read.parquet(os.path.join(path, "sigs")).persist()
-    return MinHashIndex(sigs, meta["k"], meta["n_bands"])
+    meta = _read_meta(spark, path, _META_SCHEMA)
+    sigs = None
+    if meta["table"]:
+        try:
+            sigs = spark.read.table(meta["table"])
+        except Exception:
+            sigs = None
+    if sigs is None:
+        sigs = spark.read.parquet(os.path.join(path, "sigs"))
+    return MinHashIndex(sigs.persist(), meta["k"], meta["n_bands"])
 
 
 def incremental_dedup_pairs(index: MinHashIndex, new_docs: DataFrame,

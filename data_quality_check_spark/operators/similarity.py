@@ -434,8 +434,10 @@ def ivf_save(index: IvfIndex, path: str) -> None:
     (partitioned by nothing — cell is a column; at 10^9+ vectors write it
     bucketed by cell instead) plus the quantizer centroids and params.
     Build once OFFLINE, load in every downstream job — the cross-job form
-    of the build-once/query-many API."""
-    import json
+    of the build-once/query-many API. Metadata is a one-row Spark JSON
+    dataset, written through the same storage layer as the posting table
+    (works on s3://, hdfs://, ... — no driver-local filesystem
+    assumption; r3 ADVICE)."""
     import os
 
     index.posted.write.mode("overwrite").parquet(
@@ -446,21 +448,20 @@ def ivf_save(index: IvfIndex, path: str) -> None:
     (spark.createDataFrame(rows, "cell long, centroid array<double>")
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(path, "centroids")))
-    tmp = os.path.join(path, ".meta.tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"id_col": index.id_col, "vec_col": index.vec_col,
-                   "n_cells": index.n_cells}, fh)
-    os.replace(tmp, os.path.join(path, "meta.json"))
+    (spark.createDataFrame(
+        [(index.id_col, index.vec_col, index.n_cells)],
+        "id_col string, vec_col string, n_cells int")
+     .coalesce(1).write.mode("overwrite").json(os.path.join(path, "meta")))
 
 
 def ivf_load(spark, path: str) -> IvfIndex:
     """Load a saved index: centroids re-broadcast, posting table read
     lazily (persist() so repeated queries reuse it)."""
-    import json
     import os
 
-    with open(os.path.join(path, "meta.json")) as fh:
-        meta = json.load(fh)
+    meta = (spark.read
+            .schema("id_col string, vec_col string, n_cells int")
+            .json(os.path.join(path, "meta")).first())
     rows = (spark.read.parquet(os.path.join(path, "centroids"))
             .orderBy("cell").collect())
     cent = np.asarray([r["centroid"] for r in rows], dtype=np.float64)
