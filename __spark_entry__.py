@@ -272,6 +272,35 @@ def _q_dedup_lines(spark, sf_dir):
     return dedup.dedup_lines(spark.sql(LINES_FIXTURE_SQL))
 
 
+# Span-dedup fixture: docs on the %13 schedule get a shared boilerplate
+# paragraph APPENDED — at a different word offset in every doc (their own
+# texts vary in length), so the gate exercises the content-defined
+# re-alignment. The paragraph is built around the md5-breakpoint words
+# 'lazy' and 'governs': the interior span between them (11 words, ≥
+# MIN_SPAN_WORDS) is byte-identical across all carriers and must survive
+# only in the smallest such doc_id — deterministic, NON-VACUOUS at every
+# sf. The trailing 'use of service' span (3 words) is duplicated too but
+# UNDER the eligibility floor, pinning the short-span exemption.
+SPAN_PARAGRAPH = ("standard boilerplate lazy notice content provided "
+                  "without warranty express or implied liability remains "
+                  "governs use of service")
+
+SPANS_FIXTURE_SQL = f"""
+SELECT doc_id,
+  CASE WHEN doc_id % 13 = 0 THEN text || ' {SPAN_PARAGRAPH}'
+       ELSE text END AS text
+FROM documents
+"""
+
+
+def _q_dedup_spans(spark, sf_dir):
+    """Substring-level dedup (content-defined ~16-word spans): duplicated
+    spans survive only at their first occurrence regardless of offset.
+    Fully oracled (dedup.dedup_spans_sql)."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return dedup.dedup_spans(spark.sql(SPANS_FIXTURE_SQL))
+
+
 # Hot-shingle document-frequency cap used by the gate queries — mirrored in
 # the DuckDB oracle CTEs so both engines compute Jaccard over the same
 # capped shingle sets (see ngram_jaccard_pairs docstring).
@@ -735,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_validate": _q_json_validate,
         "dedup_exact": _q_dedup_exact,
         "dedup_lines": _q_dedup_lines,
+        "dedup_spans": _q_dedup_spans,
         "decontaminate": _q_decontaminate,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_groups": _q_dedup_groups,
@@ -1263,6 +1293,7 @@ GROUP BY 1, 2
         "qf_ruleset_diff": qf_ruleset_diff,
         "dedup_exact": dedup_exact,
         "dedup_lines": dedup.dedup_lines_sql(LINES_FIXTURE_SQL),
+        "dedup_spans": dedup.dedup_spans_sql(SPANS_FIXTURE_SQL),
         "decontaminate": decontaminate,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_groups": dedup_groups,

@@ -455,6 +455,154 @@ FROM ranked GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# span-level corpus dedup (Lee-et-al-style: drop duplicated ~N-token spans)
+# ---------------------------------------------------------------------------
+
+SPAN_BP_HEX = "0"    # P(breakpoint) = 1/16 → mean span ≈ 16 words
+MIN_SPAN_WORDS = 8   # spans shorter than this never dedup (too generic)
+
+
+def dedup_spans(docs: DataFrame, text_col: str = "text",
+                min_span_words: int = MIN_SPAN_WORDS) -> DataFrame:
+    """Substring-level exact dedup: a duplicated ~16-word SPAN survives
+    only at its first (doc_id, position) occurrence, even when the copy
+    sits mid-line or at a different offset — the granularity between
+    document-level (exact/MinHash) and line-level (dedup_lines) dedup
+    that real curation pipelines run (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better").
+
+    Spans come from CONTENT-DEFINED CHUNKING, not fixed tiling: a word is
+    a span boundary iff the first hex digit of md5(lower(word)) is
+    SPAN_BP_HEX (P = 1/16 → mean span ≈ 16 words). Boundaries depend only
+    on the words themselves, so a copied paragraph RE-ALIGNS to the same
+    spans no matter what precedes it (the rsync/LBFS trick) — a fixed
+    window would only catch offset-preserved copies. Spans under
+    `min_span_words` are exempt (a bare common word must not dedup).
+
+    Plan and skew shape (same discipline as dedup_lines): posexplode
+    words (narrow) → per-doc window cumsum for the chunk id (partitioned
+    by doc_id — bounded by the doc, never a corpus-wide key) → span
+    assembly (doc-keyed shuffle) → first occurrence per span hash via
+    map-side-combinable groupBy(hash).min(struct(doc_id, start_pos)) +
+    join-back (NOT a rank window: the hottest boilerplate span is one hot
+    key) → reassembly keyed by doc_id. Output text is whitespace-
+    normalized (single spaces) — span removal has no faithful byte-level
+    splice anyway. Returns (doc_id, text_deduped, n_spans,
+    n_spans_dropped) for EVERY input doc (empty docs pass through)."""
+    from pyspark.sql import Window
+
+    words = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.col(text_col), "[ \t\n\r]+"),
+                     lambda w: w != F.lit(""))).alias("pos", "word"),
+    )
+    brk = (F.substring(F.md5(F.lower(F.col("word"))), 1, 1)
+           == SPAN_BP_HEX).cast("int")
+    w_cum = (Window.partitionBy("doc_id").orderBy("pos")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    ch = words.withColumn("chunk",
+                          F.coalesce(F.sum(brk).over(w_cum), F.lit(0)))
+    spans = (
+        ch.groupBy("doc_id", "chunk")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"]), " ").alias("span"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.min("pos").alias("start_pos"),
+        )
+        .withColumn("_fp", F.md5(F.lower(F.col("span"))))
+        .withColumn("_elig", F.col("n_words") >= min_span_words)
+    )
+    firsts = (spans.filter(F.col("_elig")).groupBy("_fp")
+              .agg(F.min(F.struct("doc_id", "start_pos")).alias("_first")))
+    kept = (spans.join(firsts, "_fp", "left")
+            .withColumn("_keep", (~F.col("_elig"))
+                        | (F.struct("doc_id", "start_pos")
+                           == F.col("_first"))))
+    out = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("_keep"),
+                               F.struct("start_pos", "span")))),
+                    lambda s: s["span"]), " ").alias("text_deduped"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count_if(~F.col("_keep")).alias("n_spans_dropped"),
+        )
+    )
+    return (docs.select("doc_id").join(out, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+                F.coalesce("n_spans", F.lit(0)).cast("long")
+                .alias("n_spans"),
+                F.coalesce("n_spans_dropped", F.lit(0)).cast("long")
+                .alias("n_spans_dropped")))
+
+
+def dedup_spans_sql(
+        source_sql: str = "SELECT doc_id, text FROM documents",
+        min_span_words: int = MIN_SPAN_WORDS) -> str:
+    """DuckDB twin of dedup_spans over any (doc_id, text) source — same
+    split, same md5 breakpoint rule, same first-occurrence policy, same
+    single-space reassembly."""
+    return f"""
+WITH src AS ({source_sql}),
+w0 AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> '') AS ws
+  FROM src
+),
+words AS (
+  SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos, ws[p] AS word
+  FROM w0, LATERAL unnest(range(1, len(ws) + 1)) AS u(p)
+),
+ch AS (
+  SELECT doc_id, pos, word,
+    coalesce(sum(CASE WHEN substr(md5(lower(word)), 1, 1) = '{SPAN_BP_HEX}'
+                 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+  FROM words
+),
+spans AS (
+  SELECT doc_id, chunk,
+    string_agg(word, ' ' ORDER BY pos) AS span,
+    count(*) AS n_words, min(pos) AS start_pos
+  FROM ch GROUP BY doc_id, chunk
+),
+marked AS (
+  SELECT *, md5(lower(span)) AS fp,
+    n_words >= {min_span_words} AS elig
+  FROM spans
+),
+ranked AS (
+  SELECT *, (NOT elig) OR row_number() OVER (
+      PARTITION BY fp, elig ORDER BY doc_id, start_pos) = 1 AS keep
+  FROM marked
+),
+agg AS (
+  SELECT doc_id,
+    string_agg(CASE WHEN keep THEN span END, ' ' ORDER BY start_pos)
+      AS text_deduped,
+    count(*) AS n_spans,
+    count(*) FILTER (WHERE NOT keep) AS n_spans_dropped
+  FROM ranked GROUP BY doc_id
+)
+SELECT s.doc_id,
+  coalesce(a.text_deduped, '') AS text_deduped,
+  coalesce(a.n_spans, 0) AS n_spans,
+  coalesce(a.n_spans_dropped, 0) AS n_spans_dropped
+FROM src s LEFT JOIN agg a ON s.doc_id = a.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # incremental dedup: MinHash index of the KEPT corpus, queried per batch
 # ---------------------------------------------------------------------------
 

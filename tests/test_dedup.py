@@ -354,3 +354,49 @@ def test_minhash_save_bucketed_zero_exchange_join_back(spark, docs_df,
             .collect()}
     loaded.sigs.unpersist()
     assert got == want and got
+
+
+def test_dedup_spans_offset_invariant_first_occurrence(spark):
+    """Content-defined chunking must re-align a copied paragraph at ANY
+    word offset: the same interior span is dropped from the later doc
+    even though its position differs (a fixed tiling would miss it)."""
+    para = ("standard boilerplate lazy notice content provided without "
+            "warranty express or implied liability remains governs use")
+    rows = [(1, "alpha beta " + para),
+            (2, "one two three four five six seven " + para),
+            (3, "totally unrelated words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.dedup_spans(df).collect()}
+    # doc 1 keeps everything (first occurrence)
+    assert out[1]["n_spans_dropped"] == 0
+    # doc 2 loses the interior span despite the different offset
+    assert out[2]["n_spans_dropped"] == 1
+    assert "notice content provided" not in out[2]["text_deduped"]
+    # non-span words survive
+    assert out[2]["text_deduped"].startswith("one two three")
+    assert out[3]["n_spans_dropped"] == 0
+
+
+def test_dedup_spans_short_spans_exempt_and_empty_docs_survive(spark):
+    """Spans under MIN_SPAN_WORDS never dedup (a bare common phrase must
+    not vanish), and empty/whitespace docs pass through."""
+    rows = [(1, "use of service"), (2, "use of service"), (3, ""),
+            (4, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.dedup_spans(df).collect()}
+    assert out[1]["text_deduped"] == out[2]["text_deduped"] \
+        == "use of service"
+    assert out[2]["n_spans_dropped"] == 0
+    assert out[3]["text_deduped"] == "" and out[3]["n_spans"] == 0
+    assert out[4]["text_deduped"] == ""
+
+
+def test_dedup_spans_within_doc_duplicates_drop(spark):
+    """A paragraph repeated INSIDE one document dedups too — the second
+    copy's interior span drops, keeping the first."""
+    para = ("standard boilerplate lazy notice content provided without "
+            "warranty express or implied liability remains governs use")
+    df = spark.createDataFrame([(7, para + " filler " + para)],
+                               "doc_id long, text string")
+    out = dedup.dedup_spans(df).collect()[0]
+    assert out["n_spans_dropped"] >= 1
