@@ -443,6 +443,46 @@ def _q_ann_ivf_top1(spark, sf_dir):
     return top.select("vec_id", "neighbor_id")
 
 
+# URL fixture: every doc gets a deterministic origin URL — one HOT domain
+# (half the corpus), one blocklisted domain, and a long tail — so the cap
+# actually binds, the blocklist actually drops rows, and both are
+# NON-VACUOUS at every sf. Identical derivation in both engines.
+URLS_FIXTURE_SQL = """
+SELECT doc_id, text,
+  'https://' ||
+  CASE WHEN doc_id % 2 = 0 THEN 'hot.example.com'
+       WHEN doc_id % 5 = 0 THEN 'spam.example.net'
+       ELSE 'site' || CAST(doc_id % 23 AS STRING) || '.example.org' END
+  || '/page/' || CAST(doc_id AS STRING) AS url
+FROM documents
+"""
+
+BLOCKED_HOSTS = ["spam.example.net"]
+DOMAIN_CAP = 20
+
+
+def _q_domain_caps(spark, sf_dir):
+    """URL/domain curation chain: host extraction (engine-portable regex)
+    → blocklist anti-join (broadcast) → per-domain doc cap (smallest ids
+    win, deterministic). The kept (doc_id, host) set is fully oracled."""
+    from data_quality_check_spark.operators import domains
+
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    d = domains.with_host(spark.sql(URLS_FIXTURE_SQL))
+    d = domains.blocklist_filter(d, BLOCKED_HOSTS)
+    return domains.domain_caps(d, DOMAIN_CAP).select("doc_id", "host")
+
+
+def _q_domain_stats(spark, sf_dir):
+    """Per-domain rollup (docs + chars per host) over the same fixture —
+    the audit view caps and blocklists are tuned from."""
+    from data_quality_check_spark.operators import domains
+
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return domains.domain_stats(domains.with_host(spark.sql(
+        URLS_FIXTURE_SQL)))
+
+
 def _q_text_tokens(spark, sf_dir):
     return textstats.token_counts(_docs(spark, sf_dir))
 
@@ -778,6 +818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_top1": _q_ann_top1,
         "ann_lsh_top1": _q_ann_lsh_top1,
         "ann_ivf_top1": _q_ann_ivf_top1,
+        "domain_caps": _q_domain_caps,
+        "domain_stats": _q_domain_stats,
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
         "text_fingerprint": _q_text_fingerprint,
@@ -1116,6 +1158,7 @@ FROM documents
 SELECT doc_id, md5({norm}) AS fingerprint FROM documents
 """
 
+    from data_quality_check_spark.operators import domains as domains_mod
     from data_quality_check_spark.operators import profile as profile_mod
     from data_quality_check_spark.operators import sampling
     from data_quality_check_spark.operators import sessions as sessions_mod
@@ -1308,6 +1351,9 @@ GROUP BY 1, 2
         "ann_top1": ann_top1,
         "ann_lsh_top1": similarity.lsh_top1_sql(),
         "ann_ivf_top1": similarity.ivf_top1_sql(n_cells=16, nprobe=4),
+        "domain_caps": domains_mod.domain_caps_sql(
+            URLS_FIXTURE_SQL, DOMAIN_CAP, BLOCKED_HOSTS),
+        "domain_stats": domains_mod.domain_stats_sql(URLS_FIXTURE_SQL),
         "text_tokens": text_tokens,
         "text_quality": text_quality,
         "text_fingerprint": text_fingerprint,
