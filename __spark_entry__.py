@@ -586,6 +586,18 @@ def _q_pack_shards(spark, sf_dir):
     return sampling.pack_shards(t, budget=PACK_BUDGET)
 
 
+def _q_pack_shards_bpe(spark, sf_dir):
+    """Shard packing under the BPE-ish SUBWORD budget (r3 verdict #6):
+    same distributed exclusive prefix sum, but the budget unit tracks
+    real tokenizer output instead of whitespace words — a 4096-token
+    shard is now meaningful for training."""
+    from data_quality_check_spark.operators import sampling
+
+    t = textstats.token_counts(_docs(spark, sf_dir)) \
+        .select("doc_id", F.col("n_tokens_bpe").alias("n_tokens"))
+    return sampling.pack_shards(t, budget=PACK_BUDGET)
+
+
 def _q_text_chunks(spark, sf_dir):
     """Context-window chunking (64-token windows, 16-token overlap) —
     narrow expressions only, chunks at scan speed."""
@@ -827,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": _q_sample_split,
         "sample_stratified": _q_sample_stratified,
         "pack_shards": _q_pack_shards,
+        "pack_shards_bpe": _q_pack_shards_bpe,
         "corpus_curation": _q_corpus_curation,
         "vocab_topk": _q_vocab_topk,
         "lang_stats": _q_lang_stats,
@@ -1137,7 +1150,8 @@ SELECT doc_id,
            w -> w <> '')), 0) AS n_tokens,
   coalesce(len(list_filter(string_split_regex(
     regexp_replace(text, '{pieces_re}', ' \\1 ', 'g'), '[ \t\n\r]+'),
-    w -> w <> '')), 0) AS n_pieces
+    w -> w <> '')), 0) AS n_pieces,
+  {textstats.bpe_token_estimate_sql('text')} AS n_tokens_bpe
 FROM documents
 """
 
@@ -1368,6 +1382,8 @@ GROUP BY 1, 2
             PACK_BUDGET,
             "coalesce(len(list_filter(string_split_regex(text,"
             " '[ \t\n\r]+'), w -> w <> '')), 0)"),
+        "pack_shards_bpe": sampling.pack_shards_sql(
+            PACK_BUDGET, textstats.bpe_token_estimate_sql("text")),
         "vocab_topk": vocab_topk,
         "lang_stats": lang_stats,
         "profile_documents": profile_mod.profile_table_sql(

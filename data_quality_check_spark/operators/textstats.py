@@ -16,28 +16,77 @@ from ..functions import rules
 from ..operators.dedup import normalize_text
 
 
-def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace tokens + BPE-ish subword-piece count (regex segmentation:
-    letter runs / digit runs / single symbols — a deterministic proxy for
-    BPE pre-tokenization)."""
-    text = F.col(text_col)
-    words = F.filter(F.split(text, rules.WS), lambda w: w != F.lit(""))
-    pieces = F.filter(
-        F.split(
-            F.regexp_replace(
-                text,
-                "([A-Za-zÀ-ÖØ-öø-ÿ]+|[0-9]+|[^A-Za-z0-9À-ÖØ-öø-ÿ \t\n\r])",
-                " $1 ",
-            ),
-            "[ \t\n\r]+",
-        ),
+# BPE-ish subword estimate: BPE pre-tokenizes into letter runs / digit
+# runs / single symbols, then merges within each piece — common short
+# pieces end up ~1 token, long or numeric pieces split roughly every few
+# chars. The estimator is that second stage as a PURE LENGTH FUNCTION
+# (deterministic, engine-twinnable): ceil(len/6) per letter run,
+# ceil(len/3) per digit run (BPE vocabularies carry few multi-digit
+# merges), 1 per symbol. Calibrated loosely against GPT-2-family
+# tokenizers (~4 chars/token on English prose); the point is a budget
+# UNIT that tracks real subword counts, not whitespace words — shard
+# budgets built on it are meaningful for training (r3 verdict #6).
+BPE_LETTER_CHARS = 6
+BPE_DIGIT_CHARS = 3
+
+_PIECES_RE = "([A-Za-zÀ-ÖØ-öø-ÿ]+|[0-9]+|[^A-Za-z0-9À-ÖØ-öø-ÿ \t\n\r])"
+
+
+def _pieces(text):
+    return F.filter(
+        F.split(F.regexp_replace(text, _PIECES_RE, " $1 "), "[ \t\n\r]+"),
         lambda w: w != F.lit(""),
     )
+
+
+def bpe_token_estimate(text) -> object:
+    """Deterministic subword-token estimate of a text column (see the
+    constants above). HOF lambdas are interpreted, so the per-piece work
+    is two anchored regex probes + one length — cheap by design."""
+    est = F.transform(
+        _pieces(text),
+        lambda p: F.when(p.rlike("^[0-9]+$"),
+                         F.floor((F.length(p) + (BPE_DIGIT_CHARS - 1))
+                                 / BPE_DIGIT_CHARS))
+        .when(p.rlike("^[A-Za-zÀ-ÖØ-öø-ÿ]+$"),
+              F.floor((F.length(p) + (BPE_LETTER_CHARS - 1))
+                      / BPE_LETTER_CHARS))
+        .otherwise(F.lit(1).cast("long")),
+    )
+    return F.coalesce(
+        F.aggregate(est, F.lit(0).cast("long"), lambda a, v: a + v),
+        F.lit(0).cast("long"))
+
+
+def bpe_token_estimate_sql(text_expr: str = "text") -> str:
+    """DuckDB twin of bpe_token_estimate, generated from the same
+    constants — the engines cannot drift."""
+    pieces = (f"list_filter(string_split_regex(regexp_replace({text_expr},"
+              f" '{_PIECES_RE}', ' \\1 ', 'g'), '[ \t\n\r]+'),"
+              " w -> w <> '')")
+    return f"""coalesce(CAST(list_sum(list_transform({pieces}, p ->
+  CASE WHEN regexp_matches(p, '^[0-9]+$')
+       THEN CAST(floor((length(p) + {BPE_DIGIT_CHARS - 1})
+                 / {BPE_DIGIT_CHARS}.0) AS BIGINT)
+       WHEN regexp_matches(p, '^[A-Za-zÀ-ÖØ-öø-ÿ]+$')
+       THEN CAST(floor((length(p) + {BPE_LETTER_CHARS - 1})
+                 / {BPE_LETTER_CHARS}.0) AS BIGINT)
+       ELSE 1 END)) AS BIGINT), 0)"""
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens, BPE-ish pre-tokenization piece count (letter
+    runs / digit runs / single symbols), and the subword-token estimate
+    (bpe_token_estimate) — the budget unit for shard packing."""
+    text = F.col(text_col)
+    words = F.filter(F.split(text, rules.WS), lambda w: w != F.lit(""))
+    pieces = _pieces(text)
     return docs.select(
         "doc_id",
         F.coalesce(F.length(text), F.lit(0)).alias("n_chars"),
         F.coalesce(F.size(words), F.lit(0)).alias("n_tokens"),
         F.coalesce(F.size(pieces), F.lit(0)).alias("n_pieces"),
+        bpe_token_estimate(text).alias("n_tokens_bpe"),
     )
 
 

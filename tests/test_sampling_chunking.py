@@ -423,3 +423,23 @@ def test_stratified_and_split_sql_quote_escaping(spark):
         " AS s FROM t").fetchall())
     con.close()
     assert got_s == want_s
+
+
+def test_bpe_estimate_calibration(spark, docs):
+    """The subword estimate must dominate the whitespace count (every
+    word is >= 1 subword; symbols add more) while staying in the
+    plausible BPE range, and split long/numeric pieces as specified."""
+    t = textstats.token_counts(docs).agg(
+        F.sum("n_tokens").alias("w"),
+        F.sum("n_tokens_bpe").alias("b")).collect()[0]
+    assert t["b"] >= t["w"]
+    assert t["b"] <= 3 * t["w"]
+
+    df = spark.createDataFrame(
+        [(1, "internationalization 12345678 hello!"), (2, ""), (3, None)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["n_tokens_bpe"] for r in
+           textstats.token_counts(df).collect()}
+    # ceil(20/6)=4 + ceil(8/3)=3 + ceil(5/6)=1 + '!'=1
+    assert got[1] == 9
+    assert got[2] == 0 and got[3] == 0
