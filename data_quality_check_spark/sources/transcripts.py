@@ -31,10 +31,14 @@ _SHORT = "hi"
 _SOUP = "@@@ ### $$$ %%% ^^^ &&&"
 
 
-def _sql(div: str) -> str:
-    """Shared derivation body; `div` is the integer-division operator."""
+def _sql(div: str, with_doc_id: bool = False) -> str:
+    """Shared derivation body; `div` is the integer-division operator.
+    `with_doc_id` keeps the source doc_id — the 1:1 surrogate key the
+    model-score oracle parquet joins on ((conv_id, turn_idx) is NOT
+    unique: the %61 anomaly injects duplicates)."""
+    did = "doc_id," if with_doc_id else ""
     return f"""
-    SELECT
+    SELECT {did}
       'c' || CAST(doc_id % {N_CONVS} AS STRING) AS conv_id,
       CAST(CASE
         WHEN doc_id % 89 = 0 THEN -1
@@ -73,9 +77,9 @@ def spark_sql() -> str:
     return _sql("div")
 
 
-def duckdb_sql() -> str:
+def duckdb_sql(with_doc_id: bool = False) -> str:
     """DuckDB derivation of the SAME rows (documents view pre-registered)."""
-    return _sql("//")
+    return _sql("//", with_doc_id)
 
 
 def load(spark: SparkSession, sf_dir: str) -> DataFrame:
