@@ -136,9 +136,15 @@ def test_lsh_bucket_exchange_carries_codes_not_floats(spark):
         if blk.startswith("Exchange") and "hashpartitioning(table" in blk
     ]
     assert bucket_exchanges, "expected a (table, bucket)-keyed exchange"
+    # the salted-scorer plan adds a probe-count agg exchange that carries
+    # ONLY (table, bucket, count) — even slimmer; every exchange moving
+    # posting rows must carry int8 codes, and none may carry the floats
+    assert any("code" in blk.split("Arguments:")[0]
+               and "scale" in blk.split("Arguments:")[0]
+               for blk in bucket_exchanges)
     for blk in bucket_exchanges:
         inputs = blk.split("Arguments:")[0]
-        assert "code" in inputs and "scale" in inputs
+        assert "code" in inputs or "count" in inputs
         assert re.search(r"\bembedding#", inputs) is None
 
 
