@@ -39,22 +39,37 @@ def _pieces(text):
     )
 
 
+# The piece classes are HOMOGENEOUS BY CONSTRUCTION (the segmentation
+# regex emits letter runs, digit runs, or single symbols), so the class
+# of a piece is decided by its FIRST CODEPOINT — integer range checks,
+# cheaper than anchored regex probes inside the interpreted HOF lambda.
+# Ranges mirror the segmentation class [A-Za-zÀ-ÖØ-öø-ÿ] / [0-9]
+# exactly; the DuckDB twin keeps the regex formulation on purpose — an
+# independent derivation of the same classification, cross-checked by
+# the gate hash.
+_LETTER_RANGES = ((65, 90), (97, 122), (192, 214), (216, 246), (248, 255))
+
+
 def bpe_token_estimate(text) -> object:
     """Deterministic subword-token estimate of a text column (see the
-    constants above). HOF lambdas are interpreted, so the per-piece work
-    is two anchored regex probes + one length — cheap by design."""
-    est = F.transform(
-        _pieces(text),
-        lambda p: F.when(p.rlike("^[0-9]+$"),
-                         F.floor((F.length(p) + (BPE_DIGIT_CHARS - 1))
-                                 / BPE_DIGIT_CHARS))
-        .when(p.rlike("^[A-Za-zÀ-ÖØ-öø-ÿ]+$"),
-              F.floor((F.length(p) + (BPE_LETTER_CHARS - 1))
-                      / BPE_LETTER_CHARS))
-        .otherwise(F.lit(1).cast("long")),
-    )
+    constants above)."""
+    def est(p):
+        c = F.ascii(p)
+        is_digit = (c >= 48) & (c <= 57)
+        is_letter = F.lit(False)
+        for lo, hi in _LETTER_RANGES:
+            is_letter = is_letter | ((c >= lo) & (c <= hi))
+        return (F.when(is_digit,
+                       F.floor((F.length(p) + (BPE_DIGIT_CHARS - 1))
+                               / BPE_DIGIT_CHARS))
+                .when(is_letter,
+                      F.floor((F.length(p) + (BPE_LETTER_CHARS - 1))
+                              / BPE_LETTER_CHARS))
+                .otherwise(F.lit(1).cast("long")))
+
     return F.coalesce(
-        F.aggregate(est, F.lit(0).cast("long"), lambda a, v: a + v),
+        F.aggregate(F.transform(_pieces(text), est),
+                    F.lit(0).cast("long"), lambda a, v: a + v),
         F.lit(0).cast("long"))
 
 
