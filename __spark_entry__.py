@@ -654,6 +654,52 @@ def _q_corpus_curation(spark, sf_dir):
     return packed.join(s3.select("doc_id", "lang"), "doc_id")
 
 
+# fixture for the WEB-curation capstone: span-paragraph injection (%13)
+# + derived origin URLs + lang — the inputs the full web chain needs
+WEB_CURATION_FIXTURE_SQL = f"""
+SELECT doc_id,
+  CASE WHEN doc_id % 13 = 0 THEN text || ' {SPAN_PARAGRAPH}'
+       ELSE text END AS text,
+  lang,
+  'https://' ||
+  CASE WHEN doc_id % 2 = 0 THEN 'hot.example.com'
+       WHEN doc_id % 5 = 0 THEN 'spam.example.net'
+       ELSE 'site' || CAST(doc_id % 23 AS STRING) || '.example.org' END
+  || '/page/' || CAST(doc_id AS STRING) AS url
+FROM documents
+"""
+
+
+def _q_corpus_curation_web(spark, sf_dir):
+    """WEB-curation capstone — the round-4 operator families composed as
+    ONE chained plan: heuristic quality filter → host extraction +
+    blocklist + per-domain caps → span-level dedup (content-defined
+    chunks) → per-language stratified balancing → shard packing under
+    the BPE subword budget. Every stage is an already-oracled public
+    operator; this gate proves the new families COMPOSE and stays
+    hash-checked end to end."""
+    from data_quality_check_spark.operators import domains, sampling
+
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    d = spark.sql(WEB_CURATION_FIXTURE_SQL)
+    q = textstats.quality_scores(d, CFG).filter("passes").select("doc_id")
+    s1 = d.join(q, "doc_id")
+    s2 = domains.domain_caps(
+        domains.blocklist_filter(domains.with_host(s1), BLOCKED_HOSTS),
+        DOMAIN_CAP)
+    sd = dedup.dedup_spans(s2.select("doc_id", "text"))
+    s3 = (s2.select("doc_id", "lang", "host")
+          .join(sd.select("doc_id", "text_deduped"), "doc_id"))
+    s4 = sampling.stratified_sample(s3, "doc_id", "lang",
+                                    STRATA_FRACS, STRATA_DEFAULT)
+    t = s4.select("doc_id", "lang", "host",
+                  textstats.bpe_token_estimate(F.col("text_deduped"))
+                  .alias("n_tokens"))
+    packed = sampling.pack_shards(t.select("doc_id", "n_tokens"),
+                                  budget=PACK_BUDGET)
+    return packed.join(t.select("doc_id", "lang", "host"), "doc_id")
+
+
 def _q_pack_shards(spark, sf_dir):
     """Token-budget shard packing: greedy contiguous packing in global
     doc_id order via a DISTRIBUTED exclusive prefix sum (range partition
@@ -921,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": _q_pack_shards,
         "pack_shards_bpe": _q_pack_shards_bpe,
         "corpus_curation": _q_corpus_curation,
+        "corpus_curation_web": _q_corpus_curation_web,
         "vocab_topk": _q_vocab_topk,
         "lang_stats": _q_lang_stats,
         "profile_documents": _q_profile_documents,
@@ -1337,6 +1384,44 @@ SELECT doc_id, n_tokens,
 FROM t
 """
 
+    # web-curation capstone twin: each CTE is the SAME generated SQL as
+    # its standalone gate (quality reasons, host regex, cap rank, the
+    # nested span-dedup twin, stratified arms, BPE estimate, window
+    # cumsum) — composed, not re-derived
+    blocked = ", ".join("'" + h.replace("'", "''") + "'"
+                        for h in BLOCKED_HOSTS)
+    corpus_curation_web = f"""
+WITH fx AS ({WEB_CURATION_FIXTURE_SQL}),
+q AS (SELECT doc_id, text, lang, url FROM fx
+      WHERE len({doc_reasons}) = 0),
+h AS (SELECT doc_id, text, lang,
+        {domains_mod.host_sql('url')} AS host FROM q),
+b AS (SELECT * FROM h WHERE host NOT IN ({blocked})),
+capped AS (
+  SELECT doc_id, text, lang, host FROM (
+    SELECT *, row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rk
+    FROM b) WHERE rk <= {DOMAIN_CAP}
+),
+ds AS (
+  SELECT * FROM (
+    {dedup.dedup_spans_sql("SELECT doc_id, text FROM capped")}
+  )
+),
+s3 AS (SELECT c.doc_id, c.lang, c.host, ds.text_deduped
+       FROM capped c JOIN ds ON c.doc_id = ds.doc_id),
+s4 AS (SELECT * FROM s3 WHERE {sampling.stratified_sample_sql(
+        'doc_id', 'lang', STRATA_FRACS, STRATA_DEFAULT)}),
+t AS (SELECT doc_id, lang, host,
+        {textstats.bpe_token_estimate_sql('text_deduped')} AS n_tokens
+      FROM s4)
+SELECT doc_id, n_tokens,
+  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+    // {PACK_BUDGET} AS BIGINT) AS shard_id,
+  lang, host
+FROM t
+"""
+
     text_chunks = textstats.chunk_documents_sql(max_tokens=64, overlap=16)
     vocab_topk = textstats.vocab_topk_sql(k=100)
     lang_stats = textstats.LANG_STATS_SQL
@@ -1510,6 +1595,7 @@ GROUP BY 1, 2
             + sampling.stratified_sample_sql(
                 "doc_id", "lang", STRATA_FRACS, STRATA_DEFAULT)),
         "corpus_curation": corpus_curation,
+        "corpus_curation_web": corpus_curation_web,
         "pack_shards": sampling.pack_shards_sql(
             PACK_BUDGET,
             "coalesce(len(list_filter(string_split_regex(text,"
