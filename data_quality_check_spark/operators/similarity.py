@@ -429,45 +429,73 @@ def ivf_build(emb: DataFrame, id_col: str = "vec_id",
     return IvfIndex(bc, posted, id_col, vec_col, n_cells)
 
 
-def ivf_save(index: IvfIndex, path: str) -> None:
-    """Persist a built index to disk: the posting table as parquet
-    (partitioned by nothing — cell is a column; at 10^9+ vectors write it
-    bucketed by cell instead) plus the quantizer centroids and params.
-    Build once OFFLINE, load in every downstream job — the cross-job form
-    of the build-once/query-many API. Metadata is a one-row Spark JSON
-    dataset, written through the same storage layer as the posting table
-    (works on s3://, hdfs://, ... — no driver-local filesystem
-    assumption; r3 ADVICE)."""
-    import os
+_IVF_META_SCHEMA = ("id_col string, vec_col string, n_cells int, "
+                    "buckets int, table string")
 
-    index.posted.write.mode("overwrite").parquet(
-        os.path.join(path, "posting"))
+
+def ivf_save(index: IvfIndex, path: str, buckets: int | None = None,
+             table: str | None = None) -> None:
+    """Persist a built index to disk: posting table + quantizer centroids
+    + params. Build once OFFLINE, load in every downstream job — the
+    cross-job form of the build-once/query-many API. Metadata is a
+    one-row Spark JSON dataset, written through the same storage layer as
+    the posting table (works on s3://, hdfs://, ... — no driver-local
+    filesystem assumption; r3 ADVICE).
+
+    `buckets`: write the posting table BUCKETED + SORTED on cell (the
+    10^9+-vector shape): every ivf_query shuffles postings by cell for
+    the member-rank/score stages, and a cell-bucketed scan arrives
+    pre-partitioned — zero exchange on the (large) index side, paid once
+    at save time. Catalog caveat and plain-parquet fallback are the same
+    as minhash_save (operators/dedup.py)."""
+    import os
+    import re
+
     spark = index.posted.sparkSession
+    if buckets:
+        name = table or ("ivf_post_"
+                         + re.sub(r"\W+", "_", path).strip("_")[-48:])
+        (index.posted.write.bucketBy(buckets, "cell")
+         .sortBy("cell", index.id_col)
+         .option("path", os.path.join(path, "posting"))
+         .mode("overwrite").format("parquet").saveAsTable(name))
+    else:
+        name = None
+        index.posted.write.mode("overwrite").parquet(
+            os.path.join(path, "posting"))
     cent = index.centroids_bc.value
     rows = [(i, [float(x) for x in cent[i]]) for i in range(cent.shape[0])]
     (spark.createDataFrame(rows, "cell long, centroid array<double>")
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(path, "centroids")))
     (spark.createDataFrame(
-        [(index.id_col, index.vec_col, index.n_cells)],
-        "id_col string, vec_col string, n_cells int")
+        [(index.id_col, index.vec_col, index.n_cells,
+          buckets or 0, name or "")], _IVF_META_SCHEMA)
      .coalesce(1).write.mode("overwrite").json(os.path.join(path, "meta")))
 
 
 def ivf_load(spark, path: str) -> IvfIndex:
     """Load a saved index: centroids re-broadcast, posting table read
-    lazily (persist() so repeated queries reuse it)."""
+    lazily (persist() so repeated queries reuse it); a bucketed save is
+    read through its catalog table, falling back to plain parquet when
+    the catalog doesn't know it."""
     import os
 
-    meta = (spark.read
-            .schema("id_col string, vec_col string, n_cells int")
+    meta = (spark.read.schema(_IVF_META_SCHEMA)
             .json(os.path.join(path, "meta")).first())
     rows = (spark.read.parquet(os.path.join(path, "centroids"))
             .orderBy("cell").collect())
     cent = np.asarray([r["centroid"] for r in rows], dtype=np.float64)
     bc = spark.sparkContext.broadcast(cent)
-    posted = spark.read.parquet(os.path.join(path, "posting")).persist()
-    return IvfIndex(bc, posted, meta["id_col"], meta["vec_col"],
+    posted = None
+    if meta["table"]:
+        try:
+            posted = spark.read.table(meta["table"])
+        except Exception:
+            posted = None
+    if posted is None:
+        posted = spark.read.parquet(os.path.join(path, "posting"))
+    return IvfIndex(bc, posted.persist(), meta["id_col"], meta["vec_col"],
                     meta["n_cells"])
 
 

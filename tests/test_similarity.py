@@ -249,6 +249,36 @@ def test_ivf_index_save_load_roundtrip(spark, emb, tmp_path):
     assert fresh == again and len(fresh) > 0
 
 
+def test_ivf_save_bucketed_zero_exchange_member_side(spark, emb,
+                                                     tmp_path):
+    """A cell-bucketed ivf_save must feed the member-rank window (the
+    first cell-keyed consumer in ivf_query) with NO exchange — the scan
+    arrives pre-partitioned on cell. Results stay identical to the
+    unbucketed form."""
+    from pyspark.sql import Window, functions as F
+
+    index = similarity.ivf_build(emb, n_cells=16, iters=0, init="by_id")
+    fresh = {(r["vec_id"], r["neighbor_id"]) for r in
+             similarity.ivf_query(index, emb, k=1, nprobe=4).collect()}
+    similarity.ivf_save(index, str(tmp_path / "bidx"), buckets=8)
+    index.posted.unpersist()
+    loaded = similarity.ivf_load(spark, str(tmp_path / "bidx"))
+
+    w = Window.partitionBy("cell").orderBy("vec_id")
+    ranked = (spark.read.table(
+        spark.read.schema(similarity._IVF_META_SCHEMA)
+        .json(str(tmp_path / "bidx" / "meta")).first()["table"])
+        .withColumn("_rk", F.row_number().over(w)))
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+    again = {(r["vec_id"], r["neighbor_id"]) for r in
+             similarity.ivf_query(loaded, emb, k=1, nprobe=4).collect()}
+    loaded.posted.unpersist()
+    assert fresh == again and len(fresh) > 0
+
+
 def test_ivf_index_build_once_query_many(emb, np_corpus):
     """The index API: one build serves multiple query sets without
     retraining the quantizer or re-posting the corpus."""
