@@ -57,10 +57,12 @@ def domain_caps(df: DataFrame, max_per_host: int,
     `max_per_host` docs per host — deterministically the smallest ids, so
     the kept set is reproducible across runs and engines.
 
-    One host-keyed shuffle; the rank window sorts a hot host in one
-    partition, which SPILLS rather than OOMs (same tradeoff as the ANN
-    member cap, operators/similarity.py:_bounded_groups) — and the output
-    for that host is bounded at max_per_host rows regardless."""
+    One host-keyed shuffle — and Catalyst inserts a PARTIAL
+    WindowGroupLimit before it (verified via .explain: each map task
+    keeps only its local top-max_per_host rows per host pre-shuffle), so
+    a hot domain never even ships its full row set, let alone sorts it
+    in one partition; the residual reduce-side sort is over ≤
+    max_per_host · n_map_tasks rows per host."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(host_col).orderBy(id_col)

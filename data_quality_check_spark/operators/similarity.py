@@ -83,7 +83,15 @@ def _grid_keys(spark, n_blocks: int, *, triangular: bool) -> DataFrame:
     return keys.filter("blk_a <= blk_b") if triangular else keys
 
 
-MAX_GROUP = 1024  # hot-bucket guard: member-pool cap per bucket/cell
+# Hot-bucket guard: member-pool cap per bucket/cell. EXACTLY 1000, not
+# 1024: Catalyst rewrites a `row_number() <= k` filter into a PARTIAL
+# WindowGroupLimit (each map task pre-trims to its local k smallest ids
+# BEFORE the shuffle) only when k <= spark.sql.optimizer.
+# windowGroupLimitThreshold (default 1000) — at 1024 the full hot key
+# would ship and sort in one reduce partition; at 1000 only
+# k · n_map_tasks rows per key ever shuffle (plan-asserted in
+# tests/test_plans.py).
+MAX_GROUP = 1000
 
 # Probe-side group bound for the bucket/cell scorers: applyInPandas
 # materializes an ENTIRE group as one pandas DataFrame before the function
@@ -120,10 +128,13 @@ def _bounded_groups(members: DataFrame, probes: DataFrame,
 
       * member side — rank by id within each key and keep the `max_group`
         smallest (the SAME deterministic pool the SQL twins' `mem` CTE
-        caps with rk <= max_group, so gate hashes are unchanged). The
-        rank window sorts a hot key in one partition, but Spark's window
-        sort SPILLS — a skewed key is slow, never an OOM — and only the
-        capped survivors flow on.
+        caps with rk <= max_group, so gate hashes are unchanged). With
+        max_group ≤ the optimizer's windowGroupLimitThreshold (why
+        MAX_GROUP is 1000), Catalyst inserts a PARTIAL WindowGroupLimit:
+        each map task pre-trims to its local max_group smallest ids, so
+        a degenerate key ships ≤ max_group · n_map_tasks rows instead of
+        its whole population; the residual reduce-side sort spills if it
+        must.
       * probe side — salted into ceil(n_probes/salt_target) sub-groups
         per key (n from a map-side-combined count agg), with the capped
         member pool replicated into every salt. Each probe lands in

@@ -178,3 +178,25 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning" not in plan
     assert n > 5000  # conv_id join multiplies within conversations
+
+
+def test_ann_member_cap_gets_partial_window_group_limit(spark):
+    """MAX_GROUP must stay <= spark.sql.optimizer.windowGroupLimitThreshold
+    so the member-cap rank is pre-trimmed MAP-SIDE (Partial
+    WindowGroupLimit) — a degenerate hot bucket then ships
+    cap * n_map_tasks rows, never its whole population."""
+    from pyspark.sql import functions as F
+
+    from data_quality_check_spark.operators import similarity
+
+    post = spark.range(10000).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 3).cast("int").alias("table"),
+        (F.col("id") % 7).alias("bucket"),
+        F.lit(b"\x01").alias("code"), F.lit(1.0).alias("scale"))
+    g = similarity._bounded_groups(post, post, ["table", "bucket"],
+                                   "vec_id")
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan.split("WindowGroupLimit", 1)[1][:200] \
+        or plan.count("WindowGroupLimit") >= 2
