@@ -398,8 +398,10 @@ def dedup_lines(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     norm = F.regexp_replace(F.regexp_replace(F.lower(F.col("line")),
                                              "[ \t\r]+", " "), "^ | $", "")
+    # two consumers (first-occurrence agg + keep join): materialize the
+    # explode+normalize+md5 work once instead of re-scanning the corpus
     hashed = lines.withColumn("_blank", norm == "") \
-        .withColumn("_h", F.md5(norm))
+        .withColumn("_h", F.md5(norm)).localCheckpoint()
     firsts = (hashed.filter(~F.col("_blank"))
               .groupBy("_h")
               .agg(F.min(F.struct("doc_id", "pos")).alias("_first")))
@@ -515,6 +517,11 @@ def dedup_spans(docs: DataFrame, text_col: str = "text",
         )
         .withColumn("_fp", F.md5(F.lower(F.col("span"))))
         .withColumn("_elig", F.col("n_words") >= min_span_words)
+        # two consumers (first-occurrence agg + keep join) — without this
+        # the whole explode→window→assemble subtree runs TWICE
+        # (plan-verified); same materialize-once discipline as the
+        # minhash signature table
+        .localCheckpoint()
     )
     firsts = (spans.filter(F.col("_elig")).groupBy("_fp")
               .agg(F.min(F.struct("doc_id", "start_pos")).alias("_first")))
