@@ -166,6 +166,10 @@ _SCORES_VERSION = "v1"  # bump when the scoring or derivation changes
 
 
 def _ensure_oracle_scores(sf_dir: str) -> None:
+    """ORACLE-side machinery, not a production path: it runs the
+    single-process Python reference implementation over the gate fixture
+    (500-5k rows), exactly like the DuckDB twin it feeds — the Spark
+    side under test never touches this."""
     import hashlib
     import os
 
@@ -752,6 +756,22 @@ def _q_corpus_drift(spark, sf_dir):
     return profile.corpus_drift(old, new, "lang")
 
 
+def _q_ngram_counts(spark, sf_dir):
+    """Distributed word-trigram occurrence counts (the corpus-scale LM
+    estimation step) — one map-side-combinable aggregate."""
+    from data_quality_check_spark.operators import ngrams
+
+    return ngrams.ngram_counts(_docs(spark, sf_dir), n=3, min_count=2)
+
+
+def _q_bigram_lm(spark, sf_dir):
+    """Maximum-likelihood bigram LM over the corpus: pair counts +
+    µ-scaled conditional probabilities via a context-keyed join."""
+    from data_quality_check_spark.operators import ngrams
+
+    return ngrams.bigram_model(_docs(spark, sf_dir), min_count=2)
+
+
 def _q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary builder: 100 most frequent tokens via map-side
     combine + TakeOrderedAndProject (no global sort)."""
@@ -969,6 +989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": _q_corpus_curation,
         "corpus_curation_web": _q_corpus_curation_web,
         "vocab_topk": _q_vocab_topk,
+        "ngram_counts": _q_ngram_counts,
+        "bigram_lm": _q_bigram_lm,
         "lang_stats": _q_lang_stats,
         "profile_documents": _q_profile_documents,
         "corpus_drift": _q_corpus_drift,
@@ -1343,6 +1365,7 @@ SELECT doc_id, md5({norm}) AS fingerprint FROM documents
 """
 
     from data_quality_check_spark.operators import domains as domains_mod
+    from data_quality_check_spark.operators import ngrams as ngrams_mod
     from data_quality_check_spark.operators import profile as profile_mod
     from data_quality_check_spark.operators import sampling
     from data_quality_check_spark.operators import sessions as sessions_mod
@@ -1603,6 +1626,8 @@ GROUP BY 1, 2
         "pack_shards_bpe": sampling.pack_shards_sql(
             PACK_BUDGET, textstats.bpe_token_estimate_sql("text")),
         "vocab_topk": vocab_topk,
+        "ngram_counts": ngrams_mod.ngram_counts_sql(n=3, min_count=2),
+        "bigram_lm": ngrams_mod.bigram_model_sql(min_count=2),
         "lang_stats": lang_stats,
         "profile_documents": profile_mod.profile_table_sql(
             "documents", DOC_COLUMNS),
