@@ -62,15 +62,23 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def shingle_set(docs: DataFrame, n: int = 3) -> DataFrame:
     """Distinct (doc_id, shingle) word-n-gram set — the shared front end
     of Jaccard dedup and cross-corpus contamination. Short docs (< n
-    words) contribute their whole text as one shingle."""
-    words = F.filter(F.split(F.lower(F.col("text")), "[ \t\n\r]+"),
-                     lambda w: w != F.lit(""))
+    words) contribute their whole text as one shingle.
+
+    The words array is materialized in its OWN projection before the
+    shingle transform: the lambda slices it once per shingle, and
+    inlining the split+filter expression into every slice (what
+    CollapseProject does to a single-projection form) makes the explode
+    O(words²) per doc — measured ~12x slower (CLAUDE.md perf notes)."""
+    wdf = docs.select("doc_id", F.filter(
+        F.split(F.lower(F.col("text")), "[ \t\n\r]+"),
+        lambda w: w != F.lit("")).alias("_ws"))
+    words = F.col("_ws")
     nw = F.size(words)
     shingles = F.when(nw >= n, F.transform(
         F.sequence(F.lit(0), nw - n),
         lambda i: F.array_join(F.slice(words, i + 1, n), " "),
     )).otherwise(F.array(F.array_join(words, " ")))
-    return docs.select("doc_id", F.explode(shingles).alias("shingle")) \
+    return wdf.select("doc_id", F.explode(shingles).alias("shingle")) \
         .distinct()
 
 

@@ -34,13 +34,18 @@ def ngram_counts(docs: DataFrame, n: int = 2, text_col: str = "text",
     as (ngram, n_occurrences). Unlike dedup's shingle_set this counts
     every occurrence (no per-doc distinct) — it estimates a distribution,
     not a membership set."""
-    ws = _words(F.col(text_col))
+    # Materialize the words array in its OWN projection first: the
+    # transform lambda indexes it per n-gram, and CollapseProject would
+    # otherwise inline the split+filter expression into every access —
+    # O(words²) per doc, measured 12x slower (CLAUDE.md perf notes).
+    wdf = docs.select(_words(F.col(text_col)).alias("_ws"))
+    ws = F.col("_ws")
     nw = F.size(ws)
     grams = F.when(nw >= n, F.transform(
         F.sequence(F.lit(0), nw - n),
         lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
     )).otherwise(F.array())
-    out = (docs.select(F.explode(grams).alias("ngram"))
+    out = (wdf.select(F.explode(grams).alias("ngram"))
            .groupBy("ngram")
            .agg(F.count(F.lit(1)).alias("n_occurrences")))
     if min_count > 1:
@@ -55,18 +60,24 @@ def bigram_model(docs: DataFrame, text_col: str = "text",
     bigram CONTEXT (its occurrences as the first word), so probabilities
     per context sum to ~1. Two map-side-combinable aggregates + one
     context-keyed join; integer-scaled for engine-exact comparison."""
-    ws = _words(F.col(text_col))
+    wdf = docs.select(_words(F.col(text_col)).alias("_ws"))
+    ws = F.col("_ws")
     nw = F.size(ws)
     pairs = F.when(nw >= 2, F.transform(
         F.sequence(F.lit(0), nw - 2),
         lambda i: F.struct(ws[i].alias("w1"), ws[i + 1].alias("w2")),
     )).otherwise(F.array())
-    p = docs.select(F.explode(pairs).alias("p")) \
+    p = wdf.select(F.explode(pairs).alias("p")) \
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    # context counts derive from the PAIR counts (c(w1·) = Σ_w2 c(w1,w2)
+    # by definition) — the corpus is exploded and counted exactly once;
+    # the second aggregate runs over the far smaller distinct-pair table.
+    # localCheckpoint: pair_counts feeds both that rollup and the join.
     pair_counts = (p.groupBy("w1", "w2")
-                   .agg(F.count(F.lit(1)).alias("n_pair")))
-    ctx_counts = (p.groupBy("w1")
-                  .agg(F.count(F.lit(1)).alias("n_ctx")))
+                   .agg(F.count(F.lit(1)).alias("n_pair"))
+                   .localCheckpoint())
+    ctx_counts = (pair_counts.groupBy("w1")
+                  .agg(F.sum("n_pair").alias("n_ctx")))
     out = (pair_counts.join(ctx_counts, "w1")
            .select(
                "w1", "w2", "n_pair",
@@ -114,7 +125,8 @@ p AS (
     CASE WHEN len(ws) >= 2 THEN range(0, len(ws) - 1) ELSE [] END) t(i)
 ),
 pc AS (SELECT w1, w2, count(*) AS n_pair FROM p GROUP BY w1, w2),
-cc AS (SELECT w1, count(*) AS n_ctx FROM p GROUP BY w1)
+cc AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_ctx
+       FROM pc GROUP BY w1)
 SELECT pc.w1, pc.w2, pc.n_pair,
   CAST(floor(pc.n_pair * 1e6 / cc.n_ctx) AS BIGINT) AS p_u
 FROM pc JOIN cc ON pc.w1 = cc.w1 {where}

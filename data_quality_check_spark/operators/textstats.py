@@ -182,14 +182,19 @@ def chunk_documents(docs: DataFrame, max_tokens: int = 128,
     if not (0 <= overlap < max_tokens):
         raise ValueError("need 0 <= overlap < max_tokens")
     step = max_tokens - overlap
-    text = F.col(text_col)
-    words = F.filter(F.split(text, rules.WS), lambda w: w != F.lit(""))
+    # words materialized in its own projection: the window transform
+    # slices it per chunk, and an inlined split would re-run per slice
+    # (see shingle_set — measured ~12x)
+    wdf = docs.select("doc_id", F.filter(
+        F.split(F.col(text_col), rules.WS),
+        lambda w: w != F.lit("")).alias("_ws"))
+    words = F.col("_ws")
     n = F.size(words)
     starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
     chunks = F.transform(
         starts, lambda s: F.slice(words, s + 1, max_tokens))
     out = (
-        docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "w"))
+        wdf.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "w"))
         .select(
             "doc_id", "chunk_idx",
             F.size("w").alias("n_tokens"),
