@@ -678,12 +678,19 @@ def quantize_embeddings(emb: DataFrame, id_col: str = "vec_id",
     fixed evaluation order — engine-reproducible, so the gate twin checks
     it value-for-value. Zero vectors quantize to all-zero with scale 0.
     """
+    # scale gets its OWN projection: referenced inside the quantize
+    # lambda, an inlined array_max would re-reduce the vector once PER
+    # ELEMENT — O(dim²) per row (same CollapseProject hazard as the
+    # shingle explodes, CLAUDE.md perf notes)
     v = F.col(vec_col).cast("array<double>")
-    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    pre = emb.select(
+        F.col(id_col), v.alias("_v"),
+        F.array_max(F.transform(v, lambda x: F.abs(x))).alias("_s"))
+    scale = F.col("_s")
     q = F.when(scale > 0, F.transform(
-        v, lambda x: F.floor(x / scale * 127).cast("int")
-    )).otherwise(F.transform(v, lambda x: F.lit(0)))
-    return emb.select(
+        F.col("_v"), lambda x: F.floor(x / scale * 127).cast("int")
+    )).otherwise(F.transform(F.col("_v"), lambda x: F.lit(0)))
+    return pre.select(
         F.col(id_col),
         F.floor(scale * 1e6).cast("long").alias("scale_u"),
         F.array_join(q, ",").alias("q_csv"),

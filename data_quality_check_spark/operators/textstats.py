@@ -50,9 +50,10 @@ def _pieces(text):
 _LETTER_RANGES = ((65, 90), (97, 122), (192, 214), (216, 246), (248, 255))
 
 
-def bpe_token_estimate(text) -> object:
-    """Deterministic subword-token estimate of a text column (see the
-    constants above)."""
+def bpe_tokens_from_pieces(pieces_col) -> object:
+    """Subword estimate over an ALREADY-COMPUTED pieces array column
+    (lets token_counts share one segmentation pass across n_pieces and
+    the estimate)."""
     def est(p):
         c = F.ascii(p)
         is_digit = (c >= 48) & (c <= 57)
@@ -68,9 +69,15 @@ def bpe_token_estimate(text) -> object:
                 .otherwise(F.lit(1).cast("long")))
 
     return F.coalesce(
-        F.aggregate(F.transform(_pieces(text), est),
+        F.aggregate(F.transform(pieces_col, est),
                     F.lit(0).cast("long"), lambda a, v: a + v),
         F.lit(0).cast("long"))
+
+
+def bpe_token_estimate(text) -> object:
+    """Deterministic subword-token estimate of a text column (see the
+    constants above)."""
+    return bpe_tokens_from_pieces(_pieces(text))
 
 
 def bpe_token_estimate_sql(text_expr: str = "text") -> str:
@@ -95,13 +102,19 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     (bpe_token_estimate) — the budget unit for shard packing."""
     text = F.col(text_col)
     words = F.filter(F.split(text, rules.WS), lambda w: w != F.lit(""))
-    pieces = _pieces(text)
-    return docs.select(
+    # one segmentation pass shared by n_pieces and the subword estimate
+    # (the pieces regexp is the expensive part — own projection, same
+    # rule as shingle_set)
+    pre = docs.select("doc_id", text.alias("_t"),
+                      _pieces(text).alias("_p"),
+                      F.coalesce(F.size(words), F.lit(0))
+                      .alias("n_tokens"))
+    return pre.select(
         "doc_id",
-        F.coalesce(F.length(text), F.lit(0)).alias("n_chars"),
-        F.coalesce(F.size(words), F.lit(0)).alias("n_tokens"),
-        F.coalesce(F.size(pieces), F.lit(0)).alias("n_pieces"),
-        bpe_token_estimate(text).alias("n_tokens_bpe"),
+        F.coalesce(F.length("_t"), F.lit(0)).alias("n_chars"),
+        F.col("n_tokens"),
+        F.coalesce(F.size("_p"), F.lit(0)).alias("n_pieces"),
+        bpe_tokens_from_pieces(F.col("_p")).alias("n_tokens_bpe"),
     )
 
 
