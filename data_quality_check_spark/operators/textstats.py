@@ -121,9 +121,14 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def quality_scores(docs: DataFrame, cfg: RuleSet = DEFAULT_RULESET,
                    text_col: str = "text") -> DataFrame:
     """Per-document heuristic quality features + pass/fail flag, reusing the
-    transcript rule expressions verbatim."""
+    transcript rule expressions verbatim — with the shared word/line
+    arrays materialized once per row (split_columns), same as the
+    pipeline's label_turns; the single-expression feature form re-runs
+    the split per consuming feature."""
     text = F.col(text_col)
-    feats = rules.feature_columns(text)
+    docs = docs.withColumns(rules.split_columns(text))
+    feats = rules.feature_columns_from(text, F.col("_words"),
+                                       F.col("_lines"))
     flags = rules.heuristic_flags(feats, text, cfg)
     reasons = rules.reasons_array(flags)
     return docs.select(
