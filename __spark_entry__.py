@@ -681,27 +681,18 @@ def _q_corpus_curation_web(spark, sf_dir):
     chunks) → per-language stratified balancing → shard packing under
     the BPE subword budget. Every stage is an already-oracled public
     operator; this gate proves the new families COMPOSE and stays
-    hash-checked end to end."""
-    from data_quality_check_spark.operators import domains, sampling
+    hash-checked end to end — driven through the PUBLIC curation API
+    (plans/curation.curate_corpus), so the user-facing entry point is
+    what gets oracle-checked."""
+    from data_quality_check_spark.plans import curation
 
     _docs(spark, sf_dir).createOrReplaceTempView("documents")
     d = spark.sql(WEB_CURATION_FIXTURE_SQL)
-    q = textstats.quality_scores(d, CFG).filter("passes").select("doc_id")
-    s1 = d.join(q, "doc_id")
-    s2 = domains.domain_caps(
-        domains.blocklist_filter(domains.with_host(s1), BLOCKED_HOSTS),
-        DOMAIN_CAP)
-    sd = dedup.dedup_spans(s2.select("doc_id", "text"))
-    s3 = (s2.select("doc_id", "lang", "host")
-          .join(sd.select("doc_id", "text_deduped"), "doc_id"))
-    s4 = sampling.stratified_sample(s3, "doc_id", "lang",
-                                    STRATA_FRACS, STRATA_DEFAULT)
-    t = s4.select("doc_id", "lang", "host",
-                  textstats.bpe_token_estimate(F.col("text_deduped"))
-                  .alias("n_tokens"))
-    packed = sampling.pack_shards(t.select("doc_id", "n_tokens"),
-                                  budget=PACK_BUDGET)
-    return packed.join(t.select("doc_id", "lang", "host"), "doc_id")
+    out = curation.curate_corpus(
+        d, CFG, blocked_hosts=BLOCKED_HOSTS, domain_cap=DOMAIN_CAP,
+        strata_fracs=STRATA_FRACS, strata_default=STRATA_DEFAULT,
+        budget=PACK_BUDGET)
+    return out.select("doc_id", "n_tokens", "shard_id", "lang", "host")
 
 
 def _q_pack_shards(spark, sf_dir):

@@ -44,10 +44,26 @@ def build_session(local: int | None, shuffle_partitions: int | None):
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="data-quality-check-spark")
+    ap.add_argument("--mode", choices=("label", "curate"), default="label",
+                    help="label: resumable per-turn quality-filter job "
+                         "(default); curate: corpus curation over a "
+                         "documents table (quality filter -> domain caps "
+                         "-> span dedup -> shard packing)")
     ap.add_argument("--input", required=True,
-                    help="transcript table path (parquet dir)")
+                    help="transcript table path (parquet dir); in curate "
+                         "mode a documents table (doc_id, text[, lang, "
+                         "url])")
     ap.add_argument("--output", required=True,
-                    help="output dir (turns/ metrics/ _manifest/)")
+                    help="output dir (turns/ metrics/ _manifest/; curate "
+                         "mode: curated parquet)")
+    ap.add_argument("--domain-cap", type=int, default=None,
+                    help="curate: keep at most N docs per host")
+    ap.add_argument("--blocklist", default=None,
+                    help="curate: comma-separated blocked hosts")
+    ap.add_argument("--no-span-dedup", action="store_true",
+                    help="curate: skip span-level dedup")
+    ap.add_argument("--budget", type=int, default=None,
+                    help="curate: pack shards under this BPE-token budget")
     ap.add_argument("--no-models", action="store_true",
                     help="heuristic-only pipeline (skip langid/perplexity)")
     ap.add_argument("--no-resume", action="store_true",
@@ -73,6 +89,24 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = build_session(args.local, args.shuffle_partitions)
     t0 = time.time()
+
+    if args.mode == "curate":
+        from .plans import curation
+
+        docs = spark.read.parquet(args.input)
+        blocked = (args.blocklist.split(",") if args.blocklist else None)
+        out = curation.curate_corpus(
+            docs, blocked_hosts=blocked, domain_cap=args.domain_cap,
+            span_dedup=not args.no_span_dedup, budget=args.budget)
+        out.write.mode("overwrite").parquet(args.output)
+        kept = spark.read.parquet(args.output).count()
+        print(json.dumps({
+            "mode": "curate",
+            "input_docs": docs.count(),
+            "kept_docs": kept,
+            "sec": round(time.time() - t0, 2),
+        }))
+        return 0
     bc = None if args.no_models else broadcast_models(spark)
     report = dq_io.run_job(
         spark, args.input, args.output,

@@ -31,3 +31,33 @@ def test_cli_runs_and_resumes(spark, tmp_path, capsys):
     assert rep2["chunks_run"] == 0
     assert rep2["chunks_skipped"] == 3
     assert rep2["output_turns"] == 30
+
+
+def test_cli_curate_mode(spark, tmp_path, capsys):
+    """curate mode: documents parquet in → curated parquet out, with
+    quality filter + span dedup + domain caps + shard packing wired
+    through the public curation API."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from data_quality_check_spark import cli
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "docs")
+    docs.withColumn(
+        "url", F.concat(F.lit("https://h"), F.col("doc_id") % 3,
+                        F.lit(".com/p"))).write.parquet(src)
+    out = str(tmp_path / "curated")
+    rc = cli.main(["--mode", "curate", "--input", src, "--output", out,
+                   "--domain-cap", "50", "--blocklist", "h0.com",
+                   "--budget", "4096"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["kept_docs"] > 0
+    cur = spark.read.parquet(out)
+    assert {"doc_id", "shard_id", "n_tokens", "host"} <= set(cur.columns)
+    hosts = {r["host"] for r in cur.select("host").distinct().collect()}
+    assert "h0.com" not in hosts
+    caps = cur.groupBy("host").count().collect()
+    assert all(r["count"] <= 50 for r in caps)
