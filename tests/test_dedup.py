@@ -400,3 +400,38 @@ def test_dedup_spans_within_doc_duplicates_drop(spark):
                                "doc_id long, text string")
     out = dedup.dedup_spans(df).collect()[0]
     assert out["n_spans_dropped"] >= 1
+
+
+def test_dedup_spans_duckdb_parity_fuzz(spark):
+    """Random word corpora (shared paragraphs at random offsets, odd
+    whitespace, casing variants) through BOTH engines — guards the
+    breakpoint/md5/first-occurrence/reassembly parity beyond the fixed
+    gate fixture."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(23)
+    vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    shared = ("standard boilerplate lazy notice content provided without "
+              "warranty express or implied liability remains governs")
+    rows = []
+    for d in range(60):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 30))]
+        if rng.random() < 0.4:
+            pos = rng.randint(0, max(0, len(words)))
+            words[pos:pos] = shared.split()
+        sep = rng.choice([" ", "  ", " \t ", "\n"])
+        rows.append((d, sep.join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text_deduped"], r["n_spans"],
+                         r["n_spans_dropped"])
+           for r in dedup.dedup_spans(df).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    sql = dedup.dedup_spans_sql("SELECT doc_id, text FROM docs")
+    want = {r[0]: (r[1], r[2], r[3]) for r in con.execute(sql).fetchall()}
+    assert got == want
+    assert sum(v[2] for v in got.values()) > 0  # non-vacuous

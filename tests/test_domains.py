@@ -59,3 +59,31 @@ def test_domain_stats_rollup(spark):
     got = {r["host"]: (r["n_docs"], r["n_chars"]) for r in
            domains.domain_stats(d).collect()}
     assert got == {"x.com": (2, 6), "y.com": (1, 0)}
+
+
+def test_domains_duckdb_parity_fuzz(spark):
+    """Random URLs (schemes, ports, junk, quotes, unicode hosts) through
+    the Spark expression AND the generated SQL twin — host extraction,
+    blocklist and cap must agree row for row."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(29)
+    pool = ["https://a{0}.com/x", "http://b{0}.org:88/y?q=1",
+            "ftp://c{0}.net", "not a url {0}", "", "https://",
+            "https://sp'am.com/{0}", "HTTPS://upper.com/{0}",
+            "https://héte.example/{0}"]
+    rows = [(i, "t", rng.choice(pool).format(i % 5)) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    kept = domains.domain_caps(
+        domains.blocklist_filter(domains.with_host(df), ["a0.com"]), 7)
+    got = sorted((r["doc_id"], r["host"]) for r in
+                 kept.select("doc_id", "host").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR, url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    sql = domains.domain_caps_sql("SELECT * FROM t", 7,
+                                  blocked_hosts=["a0.com"])
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want and got

@@ -41,3 +41,31 @@ def test_ngram_counts_short_and_null_docs(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     assert ngrams.ngram_counts(df, n=2).count() == 0
     assert ngrams.bigram_model(df).count() == 0
+
+
+def test_ngrams_duckdb_parity_fuzz(spark):
+    """Random texts through both engines for ngram_counts and
+    bigram_model — split/slice/probability parity."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(41)
+    vocab = "the a cat dog sat ran fast slow very much so and or".split()
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(0, 12))))
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+
+    got = sorted(tuple(r) for r in ngrams.ngram_counts(df, n=3).collect())
+    want = sorted(tuple(r) for r in
+                  con.execute(ngrams.ngram_counts_sql(n=3)).fetchall())
+    assert got == want and got
+
+    got_b = sorted(tuple(r) for r in ngrams.bigram_model(df).collect())
+    want_b = sorted(tuple(r) for r in
+                    con.execute(ngrams.bigram_model_sql()).fetchall())
+    assert got_b == want_b and got_b
