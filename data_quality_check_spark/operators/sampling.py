@@ -144,6 +144,11 @@ def stratified_sample_sql(key_expr: str, strata_expr: str,
     return f"CASE {arms} ELSE {cond(default_frac)} END"
 
 
+# literal-map size bound for pack_shards' per-partition offsets; above
+# this they ship as a broadcast-joined DataFrame instead
+MAP_OFFSETS_MAX = 10_000
+
+
 def pack_shards(df: DataFrame, budget: int, id_col: str = "doc_id",
                 tokens_col: str = "n_tokens") -> DataFrame:
     """Token-budget SHARD PACKING for training: documents are packed
@@ -159,8 +164,9 @@ def pack_shards(df: DataFrame, budget: int, id_col: str = "doc_id",
     only on the global id order, not on where the range boundaries land.
     Integer DIV keeps shard ids exact at any corpus size (no float
     division of 10^15-token cumsums). The offsets ride as a literal map
-    expression — fine up to ~10^4 partitions; beyond that, swap for a
-    broadcast join on _pid (same plan shape, smaller serialized plan)."""
+    expression up to MAP_OFFSETS_MAX partitions (a bounded serialized
+    plan); past that they broadcast-join on _pid instead — same plan
+    shape, the driver never serializes a 10^5-entry literal."""
     from pyspark.sql import Window
 
     t = df.select(F.col(id_col),
@@ -174,11 +180,17 @@ def pack_shards(df: DataFrame, budget: int, id_col: str = "doc_id",
     for r in psums:
         offsets[int(r["_pid"])] = acc
         acc += int(r["_ps"])
-    omap = F.create_map(*[x for pid, off in offsets.items()
-                          for x in (F.lit(pid), F.lit(off))])
+    if len(offsets) <= MAP_OFFSETS_MAX:
+        omap = F.create_map(*[x for pid, off in offsets.items()
+                              for x in (F.lit(pid), F.lit(off))])
+        parts = parts.withColumn("_off", omap[F.col("_pid")])
+    else:
+        odf = df.sparkSession.createDataFrame(
+            list(offsets.items()), "_pid int, _off long")
+        parts = parts.join(F.broadcast(odf), "_pid")
     w = (Window.partitionBy("_pid").orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    excl = F.sum("_n").over(w) - F.col("_n") + omap[F.col("_pid")]
+    excl = F.sum("_n").over(w) - F.col("_n") + F.col("_off")
     return (parts.select(F.col(id_col), F.col("_n").alias(tokens_col),
                          excl.cast("long").alias("_excl"))
             .withColumn("shard_id", F.expr(f"_excl DIV {int(budget)}"))

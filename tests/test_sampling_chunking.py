@@ -443,3 +443,16 @@ def test_bpe_estimate_calibration(spark, docs):
     # ceil(20/6)=4 + ceil(8/3)=3 + ceil(5/6)=1 + '!'=1
     assert got[1] == 9
     assert got[2] == 0 and got[3] == 0
+
+
+def test_pack_shards_join_offsets_path_identical(spark, monkeypatch):
+    """The >MAP_OFFSETS_MAX broadcast-join offset path must produce the
+    same packing as the literal-map path (forced via the threshold)."""
+    toks = [(i, 100 + (i * 37) % 400) for i in range(300)]
+    df = spark.createDataFrame(toks, "doc_id long, n_tokens long")
+    base = sorted(tuple(r) for r in
+                  sampling.pack_shards(df, budget=1000).collect())
+    monkeypatch.setattr(sampling, "MAP_OFFSETS_MAX", 0)
+    joined = sorted(tuple(r) for r in
+                    sampling.pack_shards(df, budget=1000).collect())
+    assert base == joined and base
