@@ -747,6 +747,32 @@ def _q_corpus_drift(spark, sf_dir):
     return profile.corpus_drift(old, new, "lang")
 
 
+MIX_BUDGET_EN = 4000      # token budgets for the mixture gate — strictly
+MIX_BUDGET_OTHER = 6000   # inside (0, total) at every sf: both sources
+                          # keep AND drop rows (non-vacuous both ways)
+
+
+def _q_corpus_mixture(spark, sf_dir):
+    """Data-mixture assembly: each source deterministically sampled to
+    its token budget (floor-threshold md5 discipline), tagged, unioned —
+    the mixture-weights step of training-set recipes. The per-source
+    totals are published aggregates both engines re-derive."""
+    from data_quality_check_spark.operators import mixing
+
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "doc_id", "lang",
+        F.coalesce(
+            F.size(F.filter(F.split(F.col("text"), "[ \t\n\r]+"),
+                            lambda w: w != F.lit(""))),
+            F.lit(0)).cast("long").alias("n_tokens"))
+    mixed = mixing.mix_corpora({
+        "en": (t.filter(F.col("lang") == "en"), MIX_BUDGET_EN),
+        "other": (t.filter(F.col("lang") != "en"), MIX_BUDGET_OTHER),
+    })
+    return mixed.select("doc_id", "n_tokens", "source")
+
+
 def _q_ngram_counts(spark, sf_dir):
     """Distributed word-trigram occurrence counts (the corpus-scale LM
     estimation step) — one map-side-combinable aggregate."""
@@ -982,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "ngram_counts": _q_ngram_counts,
         "bigram_lm": _q_bigram_lm,
+        "corpus_mixture": _q_corpus_mixture,
         "lang_stats": _q_lang_stats,
         "profile_documents": _q_profile_documents,
         "corpus_drift": _q_corpus_drift,
@@ -1436,6 +1463,23 @@ SELECT doc_id, n_tokens,
 FROM t
 """
 
+    # mixture twin: per-source totals, floor thresholds and the md5 hex
+    # compare all recomputed in SQL by the generated per-source twins
+    from data_quality_check_spark.operators import mixing as mixing_mod
+
+    tok_sql = ("SELECT doc_id, lang, CAST(coalesce(len(list_filter("
+               "string_split_regex(text, '[ \t\n\r]+'), w -> w <> '')), 0)"
+               " AS BIGINT) AS n_tokens FROM documents")
+    src_en = f"SELECT * FROM ({tok_sql}) WHERE lang = 'en'"
+    src_ot = f"SELECT * FROM ({tok_sql}) WHERE lang <> 'en'"
+    corpus_mixture = f"""
+SELECT doc_id, n_tokens, 'en' AS source
+FROM ({mixing_mod.sample_to_budget_sql(src_en, MIX_BUDGET_EN)})
+UNION ALL
+SELECT doc_id, n_tokens, 'other' AS source
+FROM ({mixing_mod.sample_to_budget_sql(src_ot, MIX_BUDGET_OTHER)})
+"""
+
     text_chunks = textstats.chunk_documents_sql(max_tokens=64, overlap=16)
     vocab_topk = textstats.vocab_topk_sql(k=100)
     lang_stats = textstats.LANG_STATS_SQL
@@ -1619,6 +1663,7 @@ GROUP BY 1, 2
         "vocab_topk": vocab_topk,
         "ngram_counts": ngrams_mod.ngram_counts_sql(n=3, min_count=2),
         "bigram_lm": ngrams_mod.bigram_model_sql(min_count=2),
+        "corpus_mixture": corpus_mixture,
         "lang_stats": lang_stats,
         "profile_documents": profile_mod.profile_table_sql(
             "documents", DOC_COLUMNS),
