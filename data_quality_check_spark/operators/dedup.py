@@ -322,8 +322,44 @@ def _sig_table(docs: DataFrame, k: int, bands: int) -> DataFrame:
         compute, schema=_SIG_SCHEMA)
 
 
+# Hot-band guard for the LSH candidate self-joins: a degenerate band
+# bucket (N byte-identical docs agree on EVERY band) otherwise emits
+# N²/2 candidate pairs. Capping the MEMBER side of the join at the
+# MAX_BAND_MEMBERS smallest doc_ids bounds candidates at N·cap, and the
+# connected-component resolution still links every duplicate through
+# the capped hub docs (each emits a pair with member rank 1), so dedup
+# GROUPS are unchanged for true duplicate classes. ≤ 1000 so the rank
+# filter gets the map-side partial WindowGroupLimit (the hot bucket
+# ships cap·n_map_tasks rows, not its population — see
+# operators/similarity.py MAX_GROUP).
+MAX_BAND_MEMBERS = 1000
+
+
+def _capped_band_pairs(bands_df: DataFrame, keys: list[str],
+                       max_members: int) -> DataFrame:
+    """(doc_a < doc_b) candidate pairs from band-bucket collisions, with
+    the member side rank-capped per bucket (probe side stays whole —
+    the same mem/probe split as the ANN scorers and their SQL twins)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy("doc_id")
+    mem = (bands_df.withColumn("_rk", F.row_number().over(w))
+           .filter(F.col("_rk") <= max_members).drop("_rk"))
+    a, b = bands_df.alias("a"), mem.alias("b")
+    cond = (F.col("a.doc_id") != F.col("b.doc_id"))
+    for kcol in keys:
+        cond &= (F.col(f"a.{kcol}") == F.col(f"b.{kcol}"))
+    return (
+        a.join(b, cond)
+        .select(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.7,
-                      k: int = MINHASH_K, bands: int = LSH_BANDS) -> DataFrame:
+                      k: int = MINHASH_K, bands: int = LSH_BANDS,
+                      max_band_members: int = MAX_BAND_MEMBERS) -> DataFrame:
     """Candidate near-dup pairs via MinHash banding, scored by signature
     agreement (estimated Jaccard), filtered at `threshold`.
 
@@ -333,7 +369,10 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.7,
       2. The banding join shuffles ONLY (doc_id, band, band_hash) — 20 B
          per band row; the 32-long signature never rides the band explode
          (r01 shipped 256 longs/doc through this exchange).
-      3. The signature table joins back on the (rare) CANDIDATE pairs only
+      3. The candidate join caps its member side per band bucket
+         (_capped_band_pairs) so a degenerate hot bucket emits N·cap
+         pairs, never N²/2.
+      4. The signature table joins back on the (rare) CANDIDATE pairs only
          to count agreeing components.
     The text never shuffles anywhere.
     """
@@ -348,16 +387,8 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.7,
         "doc_id",
         F.posexplode("band_hashes").alias("band", "band_hash"),
     )
-    a = bands_df.alias("a")
-    b = bands_df.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.band_hash") == F.col("b.band_hash"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _capped_band_pairs(bands_df, ["band", "band_hash"],
+                              max_band_members)
     sa = sig_df.select(F.col("doc_id").alias("doc_a"),
                        F.col("sig").alias("sig_a"))
     sb = sig_df.select(F.col("doc_id").alias("doc_b"),
@@ -731,19 +762,28 @@ def minhash_load(spark, path: str) -> MinHashIndex:
 
 
 def incremental_dedup_pairs(index: MinHashIndex, new_docs: DataFrame,
-                            threshold: float = 0.7) -> DataFrame:
+                            threshold: float = 0.7,
+                            max_band_members: int = MAX_BAND_MEMBERS
+                            ) -> DataFrame:
     """(new_doc, corpus_doc, est_jaccard) pairs: each NEW document's
     band collisions against the indexed corpus, verified by signature
     agreement — the per-batch dedup decision set. Shuffle: the new
     batch's (doc_id, band, band_hash) rows against the index bands
-    (O(batch·bands), never O(corpus²)); signatures join back on the
-    candidate pairs only."""
+    (O(batch·bands), never O(corpus²)); the CORPUS side of the join is
+    rank-capped per band bucket (hot-band guard: a boilerplate class in
+    the corpus otherwise multiplies every matching new doc by its whole
+    population); signatures join back on the candidate pairs only."""
+    from pyspark.sql import Window
+
     new_sig = _sig_table(new_docs, index.k, index.n_bands).localCheckpoint()
     new_bands = new_sig.select(
         "doc_id", F.posexplode("band_hashes").alias("band", "band_hash"))
+    w = Window.partitionBy("band", "band_hash").orderBy("doc_id")
+    cbands = (index.bands.withColumn("_rk", F.row_number().over(w))
+              .filter(F.col("_rk") <= max_band_members).drop("_rk"))
     cand = (
         new_bands.alias("n").join(
-            index.bands.alias("c"),
+            cbands.alias("c"),
             (F.col("n.band") == F.col("c.band"))
             & (F.col("n.band_hash") == F.col("c.band_hash")))
         .select(F.col("n.doc_id").alias("new_doc"),
@@ -771,7 +811,9 @@ def incremental_dedup_pairs(index: MinHashIndex, new_docs: DataFrame,
 def incremental_minhash_sql(corpus_where: str, new_where: str,
                             threshold: float = 0.5, k: int = MINHASH_K,
                             bands: int = LSH_BANDS,
-                            table: str = "documents") -> str:
+                            table: str = "documents",
+                            max_band_members: int = MAX_BAND_MEMBERS
+                            ) -> str:
     """DuckDB twin of minhash_build + incremental_dedup_pairs over two
     WHERE-disjoint slices of one table."""
     rows_per_band = k // bands
@@ -805,13 +847,19 @@ bh AS (
     FROM sigs GROUP BY doc_id, p // {rows_per_band}
   )
 ),
+cm AS (
+  SELECT *, row_number() OVER (PARTITION BY band, band_hash
+                               ORDER BY doc_id) AS rk
+  FROM (SELECT bh.* FROM bh JOIN {table} d USING (doc_id)
+        WHERE {corpus_where})
+),
 cand AS (
   SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc
   FROM (SELECT bh.* FROM bh JOIN {table} d USING (doc_id)
         WHERE {new_where}) n
-  JOIN (SELECT bh.* FROM bh JOIN {table} d USING (doc_id)
-        WHERE {corpus_where}) c
+  JOIN cm c
     ON n.band = c.band AND n.band_hash = c.band_hash
+  WHERE c.rk <= {max_band_members}
 ),
 agree AS (
   SELECT c.new_doc, c.corpus_doc,
@@ -848,12 +896,15 @@ def simhash_np(texts: list) -> np.ndarray:
     return out
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+                  max_band_members: int = MAX_BAND_MEMBERS) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance ≤ max_hamming.
 
     LSH by pigeonhole: split 32 bits into max_hamming+1 bands; any pair
     within the distance agrees exactly on ≥1 band → band-equality join
-    finds all of them without a quadratic scan.
+    finds all of them without a quadratic scan. The join's member side
+    is rank-capped per band bucket (same hot-band guard as
+    minhash_lsh_pairs — a degenerate identical-doc class stays N·cap).
     """
     n_bands = max_hamming + 1
     width = SIMHASH_BITS // n_bands
@@ -871,15 +922,20 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
     sig = docs.select("doc_id", "text").mapInPandas(
         compute, schema="doc_id long, simhash long, band int, band_key long"
-    )
-    a, b = sig.alias("a"), sig.alias("b")
+    ).localCheckpoint()  # probe + member-rank consumers
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "band_key").orderBy("doc_id")
+    mem = (sig.withColumn("_rk", F.row_number().over(w))
+           .filter(F.col("_rk") <= max_band_members).drop("_rk"))
+    a, b = sig.alias("a"), mem.alias("b")
     pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.band_key") == F.col("b.band_key"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+               & (F.col("a.doc_id") != F.col("b.doc_id")))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
             F.bit_count(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
@@ -928,10 +984,11 @@ def _bytes_cte(table: str = "documents") -> str:
 
 def minhash_pairs_sql(threshold: float = 0.5, k: int = MINHASH_K,
                       bands: int = LSH_BANDS,
-                      table: str = "documents") -> str:
+                      table: str = "documents",
+                      max_band_members: int = MAX_BAND_MEMBERS) -> str:
     """DuckDB twin of minhash_lsh_pairs: same signatures (permutation
-    constants embedded), same banding, same candidate join, same
-    estimated-Jaccard filter — emits (doc_a, doc_b, est_u) where
+    constants embedded), same banding, same rank-capped candidate join,
+    same estimated-Jaccard filter — emits (doc_a, doc_b, est_u) where
     est_u = floor(n_agree/k * 1e6), exact in both engines."""
     rows_per_band = k // bands
     a, b = _perm_params(k)
@@ -964,10 +1021,16 @@ bh AS (
     FROM sigs GROUP BY doc_id, p // {rows_per_band}
   )
 ),
+mem AS (
+  SELECT doc_id, band, band_hash,
+    row_number() OVER (PARTITION BY band, band_hash ORDER BY doc_id) AS rk
+  FROM bh
+),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bh a JOIN bh b ON a.band = b.band AND a.band_hash = b.band_hash
-  WHERE a.doc_id < b.doc_id
+  SELECT DISTINCT least(a.doc_id, m.doc_id) AS doc_a,
+                  greatest(a.doc_id, m.doc_id) AS doc_b
+  FROM bh a JOIN mem m ON a.band = m.band AND a.band_hash = m.band_hash
+  WHERE m.rk <= {max_band_members} AND a.doc_id <> m.doc_id
 ),
 agree AS (
   SELECT c.doc_a, c.doc_b,
@@ -984,9 +1047,10 @@ FROM agree WHERE CAST(n_agree AS DOUBLE) / {k} >= {threshold}
 
 
 def simhash_pairs_sql(max_hamming: int = 3,
-                      table: str = "documents") -> str:
+                      table: str = "documents",
+                      max_band_members: int = MAX_BAND_MEMBERS) -> str:
     """DuckDB twin of simhash_pairs: same trigram hashes, per-bit signed
-    sums, pigeonhole banding and hamming filter."""
+    sums, pigeonhole banding, rank-capped join and hamming filter."""
     n_bands = max_hamming + 1
     width = SIMHASH_BITS // n_bands
     return f"""
@@ -1015,12 +1079,19 @@ banded AS (
          (simhash >> (b * {width})) & {(1 << width) - 1} AS band_key
   FROM sim, range(0, {n_bands}) rb(b)
 ),
+mem AS (
+  SELECT *, row_number() OVER (PARTITION BY band, band_key
+                               ORDER BY doc_id) AS rk
+  FROM banded
+),
 pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-    bit_count(xor(a.simhash, b.simhash)) AS hamming
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.band_key = b.band_key
-   AND a.doc_id < b.doc_id
+  SELECT least(a.doc_id, m.doc_id) AS doc_a,
+         greatest(a.doc_id, m.doc_id) AS doc_b,
+    bit_count(xor(a.simhash, m.simhash)) AS hamming
+  FROM banded a JOIN mem m
+    ON a.band = m.band AND a.band_key = m.band_key
+   AND a.doc_id <> m.doc_id
+  WHERE m.rk <= {max_band_members}
 )
 SELECT doc_a, doc_b, CAST(min(hamming) AS BIGINT) AS hamming
 FROM pairs WHERE hamming <= {max_hamming} GROUP BY doc_a, doc_b

@@ -435,3 +435,25 @@ def test_dedup_spans_duckdb_parity_fuzz(spark):
     want = {r[0]: (r[1], r[2], r[3]) for r in con.execute(sql).fetchall()}
     assert got == want
     assert sum(v[2] for v in got.values()) > 0  # non-vacuous
+
+
+def test_hot_band_guard_bounds_identical_class(spark):
+    """N byte-identical docs agree on EVERY band — uncapped, the
+    candidate self-join is N²/2 pairs. With the member cap the pair set
+    is ≤ N·cap, and connected components still collapse the whole class
+    into ONE group through the capped hub docs."""
+    rows = [(i, "exactly the same boilerplate text repeated")
+            for i in range(400)]
+    rows += [(1000, "something else entirely different here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(df, threshold=0.5,
+                                    max_band_members=16)
+    n_pairs = pairs.count()
+    assert n_pairs <= 400 * 16          # bounded, not 400*399/2
+    groups = dedup.resolve_groups(pairs.select("doc_a", "doc_b"))
+    labels = {r["doc_id"]: r["group_id"] for r in groups.collect()}
+    assert {labels[i] for i in range(400)} == {0}   # one class, rep 0
+    assert 1000 not in labels
+
+    sh = dedup.simhash_pairs(df, max_hamming=3, max_band_members=16)
+    assert sh.count() <= 400 * 16
