@@ -169,7 +169,14 @@ def _ensure_oracle_scores(sf_dir: str) -> None:
     """ORACLE-side machinery, not a production path: it runs the
     single-process Python reference implementation over the gate fixture
     (500-5k rows), exactly like the DuckDB twin it feeds — the Spark
-    side under test never touches this."""
+    side under test never touches this.
+
+    The cache is ONE slot keyed by the last-ensured sf_dir, assuming one
+    harness process at a time (true of the driver and the test harness);
+    two concurrent sweeps at DIFFERENT sfs would clobber each other's
+    slot mid-compare. Per-file writes are atomic (temp + rename) and the
+    tag is written last, so a crash never leaves a valid-looking tag
+    over partial data."""
     import hashlib
     import os
 

@@ -94,7 +94,8 @@ def main(argv: list[str] | None = None) -> int:
         from .plans import curation
 
         docs = spark.read.parquet(args.input)
-        blocked = (args.blocklist.split(",") if args.blocklist else None)
+        blocked = ([h.strip() for h in args.blocklist.split(",")
+                    if h.strip()] if args.blocklist else None)
         out = curation.curate_corpus(
             docs, blocked_hosts=blocked, domain_cap=args.domain_cap,
             span_dedup=not args.no_span_dedup, budget=args.budget)

@@ -304,6 +304,46 @@ def read_latency(spark: SparkSession, output_dir: str) -> DataFrame:
     return spark.read.option("basePath", base).parquet(*paths)
 
 
+# ---------------------------------------------------------------------------
+# shared index-persistence plumbing (minhash_save/ivf_save use these)
+# ---------------------------------------------------------------------------
+
+def index_table_name(prefix: str, path: str) -> str:
+    """Catalog table name for a bucketed index saved at `path`: a short
+    sanitized path tail for readability + an md5 tail for UNIQUENESS —
+    a suffix-only derivation lets two different paths share a name, and
+    saveAsTable(mode='overwrite') would then silently repoint the first
+    index at the second's files."""
+    import hashlib
+    import re
+
+    tail = re.sub(r"\W+", "_", path).strip("_")[-24:]
+    return f"{prefix}_{tail}_{hashlib.md5(path.encode()).hexdigest()[:12]}"
+
+
+def write_index_meta(spark: SparkSession, path: str, row: tuple,
+                     schema: str) -> None:
+    """Index metadata as a one-row Spark JSON dataset — written through
+    the same storage layer as the index tables, so save/load works
+    wherever the data does (s3://, hdfs://, ...)."""
+    (spark.createDataFrame([row], schema).coalesce(1)
+     .write.mode("overwrite").json(os.path.join(path, "meta")))
+
+
+def read_index_meta(spark: SparkSession, path: str, schema: str):
+    """Read index metadata; falls back to the legacy driver-local
+    meta.json format (pre-r4 saves) with absent fields left NULL."""
+    try:
+        return spark.read.schema(schema).json(
+            os.path.join(path, "meta")).first()
+    except Exception:
+        with open(os.path.join(path, "meta.json")) as fh:
+            legacy = json.load(fh)
+        fields = [f.split()[0] for f in schema.split(",")]
+        from pyspark.sql import Row
+        return Row(**{f: legacy.get(f) for f in fields})
+
+
 def write_bucketed(df: DataFrame, table: str, buckets: int,
                    key: tuple[str, ...] = ("conv_id",),
                    sort: tuple[str, ...] = ("conv_id", "turn_idx")) -> None:

@@ -686,30 +686,6 @@ def minhash_build(docs: DataFrame, k: int = MINHASH_K,
 _META_SCHEMA = "k int, n_bands int, buckets int, table string"
 
 
-def _write_meta(spark, path: str, row: tuple, schema: str) -> None:
-    """Index metadata as a one-row Spark JSON dataset — written through
-    the SAME storage layer as the posting/signature tables, so save/load
-    works wherever the data does (s3://, hdfs://, ...); a driver-local
-    open()/os.replace would silently require a local filesystem on the
-    advertised cluster deployments (r3 ADVICE)."""
-    import os
-
-    (spark.createDataFrame([row], schema).coalesce(1)
-     .write.mode("overwrite").json(os.path.join(path, "meta")))
-
-
-def _read_meta(spark, path: str, schema: str):
-    import os
-
-    return spark.read.schema(schema).json(os.path.join(path, "meta")).first()
-
-
-def _bucket_table_name(path: str) -> str:
-    import re
-
-    return "mh_sigs_" + re.sub(r"\W+", "_", path).strip("_")[-48:]
-
-
 def minhash_save(index: MinHashIndex, path: str,
                  buckets: int | None = None,
                  table: str | None = None) -> None:
@@ -727,9 +703,11 @@ def minhash_save(index: MinHashIndex, path: str,
     read of the same files (correct, just re-shuffled per join)."""
     import os
 
+    from .. import io as dq_io
+
     spark = index.sigs.sparkSession
     if buckets:
-        name = table or _bucket_table_name(path)
+        name = table or dq_io.index_table_name("mh_sigs", path)
         (index.sigs.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
          .option("path", os.path.join(path, "sigs"))
          .mode("overwrite").format("parquet").saveAsTable(name))
@@ -737,19 +715,22 @@ def minhash_save(index: MinHashIndex, path: str,
         name = None
         index.sigs.write.mode("overwrite").parquet(
             os.path.join(path, "sigs"))
-    _write_meta(spark, path,
-                (index.k, index.n_bands, buckets or 0, name or ""),
-                _META_SCHEMA)
+    dq_io.write_index_meta(
+        spark, path, (index.k, index.n_bands, buckets or 0, name or ""),
+        _META_SCHEMA)
 
 
 def minhash_load(spark, path: str) -> MinHashIndex:
     """Load a saved index; a bucketed save is read through its catalog
     table (zero-exchange join-back), falling back to the plain parquet
     files when the catalog doesn't know it (fresh session, no shared
-    metastore)."""
+    metastore). Pre-r4 saves (driver-local meta.json) load via the
+    legacy fallback in io.read_index_meta."""
     import os
 
-    meta = _read_meta(spark, path, _META_SCHEMA)
+    from .. import io as dq_io
+
+    meta = dq_io.read_index_meta(spark, path, _META_SCHEMA)
     sigs = None
     if meta["table"]:
         try:

@@ -14,19 +14,25 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# scheme://host[:port]/... → host (stops at ':' or '/'); no match → ''
-HOST_RE = "^[a-z]+://([^/:]+)"
+# scheme://[userinfo@]host[:port]/... → host. Evasion-hardened (review
+# r4): userinfo is skipped via a non-capturing group (a URL like
+# https://x@spam.example.net would otherwise extract 'x@spam.example.net'
+# and slip every blocklist/cap), and matching runs over the LOWERCASED
+# url so HTTPS:// schemes and mixed-case hosts fold into one bucket
+# (host names are case-insensitive). No match → ''.
+HOST_RE = "^[a-z]+://(?:[^/@]*@)?([^/:@]+)"
 
 
 def host_expr(url_col) -> object:
     """Host of a URL column as a narrow expression ('' when unparseable —
     never NULL, so blocklists and caps treat junk URLs as one bucket)."""
-    return F.coalesce(F.regexp_extract(url_col, HOST_RE, 1), F.lit(""))
+    return F.coalesce(
+        F.regexp_extract(F.lower(url_col), HOST_RE, 1), F.lit(""))
 
 
 def host_sql(url_expr: str) -> str:
     """DuckDB twin of host_expr."""
-    return f"coalesce(regexp_extract({url_expr}, '{HOST_RE}', 1), '')"
+    return f"coalesce(regexp_extract(lower({url_expr}), '{HOST_RE}', 1), '')"
 
 
 def with_host(df: DataFrame, url_col: str = "url",

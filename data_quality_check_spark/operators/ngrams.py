@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-WS = "[ \t\n\r]+"
+from ..functions.rules import WS  # ONE whitespace class repo-wide
 
 
 def _words(text_col):

@@ -460,12 +460,12 @@ def ivf_save(index: IvfIndex, path: str, buckets: int | None = None,
     at save time. Catalog caveat and plain-parquet fallback are the same
     as minhash_save (operators/dedup.py)."""
     import os
-    import re
+
+    from .. import io as dq_io
 
     spark = index.posted.sparkSession
     if buckets:
-        name = table or ("ivf_post_"
-                         + re.sub(r"\W+", "_", path).strip("_")[-48:])
+        name = table or dq_io.index_table_name("ivf_post", path)
         (index.posted.write.bucketBy(buckets, "cell")
          .sortBy("cell", index.id_col)
          .option("path", os.path.join(path, "posting"))
@@ -479,10 +479,10 @@ def ivf_save(index: IvfIndex, path: str, buckets: int | None = None,
     (spark.createDataFrame(rows, "cell long, centroid array<double>")
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(path, "centroids")))
-    (spark.createDataFrame(
-        [(index.id_col, index.vec_col, index.n_cells,
-          buckets or 0, name or "")], _IVF_META_SCHEMA)
-     .coalesce(1).write.mode("overwrite").json(os.path.join(path, "meta")))
+    dq_io.write_index_meta(
+        spark, path,
+        (index.id_col, index.vec_col, index.n_cells,
+         buckets or 0, name or ""), _IVF_META_SCHEMA)
 
 
 def ivf_load(spark, path: str) -> IvfIndex:
@@ -492,8 +492,9 @@ def ivf_load(spark, path: str) -> IvfIndex:
     the catalog doesn't know it."""
     import os
 
-    meta = (spark.read.schema(_IVF_META_SCHEMA)
-            .json(os.path.join(path, "meta")).first())
+    from .. import io as dq_io
+
+    meta = dq_io.read_index_meta(spark, path, _IVF_META_SCHEMA)
     rows = (spark.read.parquet(os.path.join(path, "centroids"))
             .orderBy("cell").collect())
     cent = np.asarray([r["centroid"] for r in rows], dtype=np.float64)
@@ -521,9 +522,12 @@ def ivf_query(index: IvfIndex, queries: DataFrame, k: int = 1,
     id_col, vec_col = index.id_col, index.vec_col
     nprobe = min(nprobe, index.n_cells)
     schema = f"{id_col} long, cell long, code binary, scale double"
+    # localCheckpoint: _bounded_groups consumes the probe table twice
+    # (count agg + join) — without it the centroid-matmul/quantize UDF
+    # pass would run twice over every query vector
     probed = queries.select(id_col, vec_col).mapInPandas(
         _post_fn(index.centroids_bc, id_col, vec_col, nprobe),
-        schema=schema)
+        schema=schema).localCheckpoint()
     grouped = _bounded_groups(index.posted, probed, ["cell"], id_col,
                               max_group)
     cand = (

@@ -87,3 +87,20 @@ def test_domains_duckdb_parity_fuzz(spark):
                                   blocked_hosts=["a0.com"])
     want = sorted(tuple(r) for r in con.execute(sql).fetchall())
     assert got == want and got
+
+
+def test_host_extraction_evasion_hardened(spark):
+    """Review r4: userinfo and case must not evade blocklists/caps."""
+    rows = [
+        (1, "a", "https://x@spam.example.net/p"),
+        (2, "b", "HTTPS://Spam.EXAMPLE.net/p"),
+        (3, "c", "https://user:pw@deep.example.org:8080/q"),
+    ]
+    got = {r["doc_id"]: r["host"] for r in
+           domains.with_host(_df(spark, rows)).collect()}
+    assert got[1] == "spam.example.net"
+    assert got[2] == "spam.example.net"
+    assert got[3] == "deep.example.org"
+    kept = domains.blocklist_filter(
+        domains.with_host(_df(spark, rows)), ["spam.example.net"])
+    assert {r["doc_id"] for r in kept.collect()} == {3}
