@@ -889,6 +889,39 @@ def _q_stream_conv_stats(spark, sf_dir):
                     .alias("last_ts_epoch")))
 
 
+def _q_stream_incremental_dedup(spark, sf_dir):
+    """STREAMING incremental dedup under the full oracle: the odd-doc
+    half arrives as a file stream in MULTIPLE micro-batches
+    (maxFilesPerTrigger=1 over a 4-file source) checked per batch
+    against a static MinHash index of the even half — the pair set must
+    equal the one-shot batch computation (stream ≡ batch replay), so the
+    oracle is the SAME incremental_minhash_sql the batch gate uses."""
+    import hashlib
+    import os as _os
+    import uuid as _uuid
+
+    from data_quality_check_spark.streaming import stream as dqs
+
+    docs = _docs(spark, sf_dir)
+    tag = hashlib.md5(f"{sf_dir}|odd-docs-v1".encode()).hexdigest()[:8]
+    src = f"/tmp/dqcs_gate_docstream/{tag}"
+    if not _os.path.exists(_os.path.join(src, "_SUCCESS")):
+        (docs.filter(F.col("doc_id") % 2 == 1).repartition(4)
+         .write.mode("overwrite").parquet(src))
+    index = dedup.minhash_build(docs.filter(F.col("doc_id") % 2 == 0),
+                                persist=False)
+    run = _uuid.uuid4().hex[:8]
+    out = f"/tmp/dqcs_gate_docstream_out/{run}"
+    ck = f"/tmp/dqcs_gate_docstream_ck/{run}"
+    st = (spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src))
+    q = dqs.incremental_dedup_stream(st, index, out, ck, threshold=0.5)
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        "new_doc", "corpus_doc",
+        _scaled(F.col("est_jaccard"), 1e6).alias("est_u"))
+
+
 def _q_event_sessions(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity) over the events table
     — two window functions + one aggregate, one user-keyed shuffle."""
@@ -1022,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_text_langid,
         "stream_window_counts": _q_stream_window_counts,
         "stream_conv_stats": _q_stream_conv_stats,
+        "stream_incremental_dedup": _q_stream_incremental_dedup,
         "events_window": _q_events_window,
         "event_sessions": _q_event_sessions,
         "events_props": _q_events_props,
@@ -1639,6 +1673,10 @@ GROUP BY 1, 2
         "dedup_apply": dedup_apply,
         "dedup_minhash_lsh": dedup.minhash_pairs_sql(threshold=0.5),
         "dedup_incremental": dedup.incremental_minhash_sql(
+            "d.doc_id % 2 = 0", "d.doc_id % 2 = 1", threshold=0.5),
+        # stream ≡ batch replay: the streaming run must reproduce the
+        # batch incremental-dedup decision set exactly
+        "stream_incremental_dedup": dedup.incremental_minhash_sql(
             "d.doc_id % 2 = 0", "d.doc_id % 2 = 1", threshold=0.5),
         "dedup_simhash": dedup.simhash_pairs_sql(max_hamming=3),
         "dedup_embedding": dedup_embedding,

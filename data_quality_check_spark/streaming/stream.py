@@ -154,3 +154,34 @@ def conversation_stats_stream(labeled: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def incremental_dedup_stream(stream_docs: DataFrame, index,
+                             output_dir: str, checkpoint_dir: str,
+                             threshold: float = 0.5):
+    """STREAMING incremental dedup: a stream of new documents checked
+    per micro-batch against a static MinHash index of the kept corpus
+    (operators/dedup.MinHashIndex) — the continuous-ingestion form of
+    incremental_dedup_pairs.
+
+    Shape: foreachBatch runs the BATCH operator on each micro-batch (the
+    micro-batch IS the "daily batch"; every decision depends only on the
+    doc itself + the static index, so the pair set is invariant to how
+    the stream is batched — pinned by the gate, which forces multiple
+    micro-batches via maxFilesPerTrigger and still matches the one-shot
+    batch oracle). Pairs append to `output_dir` as parquet; the
+    streaming checkpoint makes a restart resume at the next unprocessed
+    file with no duplicated pairs (file-source progress + the idempotent
+    per-batch write).
+
+    Returns the started StreamingQuery (caller awaits/stops)."""
+    from ..operators import dedup as dedup_ops
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = dedup_ops.incremental_dedup_pairs(
+            index, batch_df, threshold=threshold)
+        pairs.write.mode("append").parquet(output_dir)
+
+    return (stream_docs.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())

@@ -147,3 +147,51 @@ def test_conversation_stats_stateful(spark, tmp_path):
     assert rows["cA"]["max_turn_idx"] == 11
     assert rows["cB"]["n_turns"] == 5
     assert rows["cA"]["n_kept"] <= 12
+
+
+def test_incremental_dedup_stream_matches_batch_and_resumes(spark, tmp_path):
+    """Stream ≡ batch replay for incremental dedup, plus file-source
+    resume: appending new files and re-running with the SAME checkpoint
+    processes only the new files — no duplicated pairs."""
+    from pyspark.sql import functions as F
+
+    from data_quality_check_spark.operators import dedup
+    from data_quality_check_spark.streaming import stream as dqs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch1 = docs.filter((F.col("doc_id") % 2 == 1)
+                         & (F.col("doc_id") < 250))
+    batch2 = docs.filter((F.col("doc_id") % 2 == 1)
+                         & (F.col("doc_id") >= 250))
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    batch1.repartition(2).write.mode("append").parquet(src)
+
+    index = dedup.minhash_build(corpus, persist=False)
+
+    def run():
+        st = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+        q = dqs.incremental_dedup_stream(st, index, out, ck)
+        q.awaitTermination()
+
+    run()
+    got1 = {(r["new_doc"], r["corpus_doc"]) for r in
+            spark.read.parquet(out).collect()}
+    want1 = {(r["new_doc"], r["corpus_doc"]) for r in
+             dedup.incremental_dedup_pairs(index, batch1, 0.5).collect()}
+    assert got1 == want1 and got1
+
+    # append new files, re-run with the same checkpoint: only batch2's
+    # pairs are added, batch1's are NOT reprocessed/duplicated
+    batch2.repartition(2).write.mode("append").parquet(src)
+    run()
+    rows = spark.read.parquet(out).collect()
+    got2 = {(r["new_doc"], r["corpus_doc"]) for r in rows}
+    want2 = want1 | {(r["new_doc"], r["corpus_doc"]) for r in
+                     dedup.incremental_dedup_pairs(index, batch2, 0.5)
+                     .collect()}
+    assert got2 == want2
+    assert len(rows) == len(got2)  # exactly-once: no duplicated pairs
