@@ -892,7 +892,7 @@ def _q_stream_conv_stats(spark, sf_dir):
 def _q_stream_incremental_dedup(spark, sf_dir):
     """STREAMING incremental dedup under the full oracle: the odd-doc
     half arrives as a file stream in MULTIPLE micro-batches
-    (maxFilesPerTrigger=1 over a 4-file source) checked per batch
+    (maxFilesPerTrigger=2 over a 4-file source) checked per batch
     against a static MinHash index of the even half — the pair set must
     equal the one-shot batch computation (stream ≡ batch replay), so the
     oracle is the SAME incremental_minhash_sql the batch gate uses."""
@@ -914,7 +914,7 @@ def _q_stream_incremental_dedup(spark, sf_dir):
     out = f"/tmp/dqcs_gate_docstream_out/{run}"
     ck = f"/tmp/dqcs_gate_docstream_ck/{run}"
     st = (spark.readStream.schema(docs.schema)
-          .option("maxFilesPerTrigger", "1").parquet(src))
+          .option("maxFilesPerTrigger", "2").parquet(src))
     q = dqs.incremental_dedup_stream(st, index, out, ck, threshold=0.5)
     q.awaitTermination()
     return spark.read.parquet(out).select(
