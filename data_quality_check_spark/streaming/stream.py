@@ -169,18 +169,23 @@ def incremental_dedup_stream(stream_docs: DataFrame, index,
     doc itself + the static index, so the pair set is invariant to how
     the stream is batched — pinned by the gate, which forces multiple
     micro-batches via maxFilesPerTrigger and still matches the one-shot
-    batch oracle). Pairs append to `output_dir` as parquet; the
-    streaming checkpoint makes a restart resume at the next unprocessed
-    file with no duplicated pairs (file-source progress + the idempotent
-    per-batch write).
+    batch oracle). Each micro-batch OVERWRITES its own
+    `output_dir/batch=<id>` directory — foreachBatch is at-least-once,
+    and a crash between a batch's write and its checkpoint commit
+    replays the batch on restart; a plain append would duplicate its
+    pairs, the keyed overwrite makes the replay idempotent (exactly-once
+    output). Read the result with spark.read.parquet(output_dir).
 
     Returns the started StreamingQuery (caller awaits/stops)."""
+    import os
+
     from ..operators import dedup as dedup_ops
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         pairs = dedup_ops.incremental_dedup_pairs(
             index, batch_df, threshold=threshold)
-        pairs.write.mode("append").parquet(output_dir)
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(output_dir, f"batch={batch_id}"))
 
     return (stream_docs.writeStream.foreachBatch(process)
             .option("checkpointLocation", checkpoint_dir)
