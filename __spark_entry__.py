@@ -14,10 +14,27 @@ green AND meaningful:
   * streaming queries run to completion with availableNow and are
     checked against the equivalent batch SQL (stream ≡ batch replay).
 
-Operators whose semantics are not SQL-expressible (broadcast numpy model
-scores, MinHash/SimHash signatures, LSH/IVF approximations, the stubbed
-media decode) are rows-only checked here and get exact numpy-parity or
-recall tests in tests/ instead.
+EVERY gate is oracled — none is rows-only. The non-SQL-expressible
+surfaces are closed two ways:
+  * model scores (langid confidence, perplexity, quality) are computed by
+    the Spark-independent Python reference (oracle.py / models/*) and
+    materialized as a BIT-IDENTICAL score parquet the DuckDB twins JOIN
+    (_ensure_oracle_scores; everything downstream of the join — drop
+    rules, keep, scaling — is recomputed in SQL);
+  * MinHash/SimHash signatures and the LSH/IVF approximate paths have
+    generated SQL twins that re-derive the integer hash mixes, banding,
+    caps and tie order in BIGINT (minhash_pairs_sql, simhash_pairs_sql,
+    lsh_top1_sql, ivf_top1_sql).
+The stubbed media decode (multimodal.real_decode) remains the single
+honest environment stub; its plumbing gates are oracled via the
+deterministic payload arithmetic.
+
+DRIVER WINDOW (r4 verdict #1): the driver grades the FIRST 50 entries of
+queries(), so queries()/oracle_sql() hold exactly the ≤50 driver-graded
+gates. Gates whose oracle SQL is a literal sub-CTE or projection of a
+remaining gate's oracle live in extra_queries()/extra_oracle_sql() —
+still swept by tests/test_gate.py at every sf, just not re-counted
+against the driver window.
 """
 
 from __future__ import annotations
@@ -162,7 +179,24 @@ def _q_qf_reason_histogram(spark, sf_dir):
 # itself.
 
 _SCORES_DIR = "/tmp/dqcs_oracle_scores"
-_SCORES_VERSION = "v1"  # bump when the scoring or derivation changes
+_SCORES_VERSION = "v2"  # bump when the scoring or derivation changes
+                        # (v2: + learned quality scores over the junk
+                        #  -injection fixture)
+
+# Learned-quality gate fixture: docs on the %19 schedule get their text
+# replaced by deterministic web junk (SEO spam + symbol noise varied by
+# doc_id) so the classifier gate is NON-VACUOUS both ways at every sf —
+# junk scores < 0.13, natural fixture docs > 0.96 (wide margin around
+# the 0.5 threshold). Identical derivation in both engines.
+QUALITY_FIXTURE_SQL = """
+SELECT doc_id,
+  CASE WHEN doc_id % 19 = 0
+       THEN '$$$ click here buy now !!! free offer ### subscribe to win'
+            || ' @@@ prize ' || CAST(doc_id % 7 AS STRING)
+            || ' promo code save big deal'
+       ELSE text END AS text
+FROM documents
+"""
 
 
 def _ensure_oracle_scores(sf_dir: str) -> None:
@@ -187,6 +221,7 @@ def _ensure_oracle_scores(sf_dir: str) -> None:
 
     from data_quality_check_spark.models import langid as langid_model
     from data_quality_check_spark.models import ngram as ngram_model
+    from data_quality_check_spark.models import quality as quality_model
 
     tag = hashlib.md5(f"{sf_dir}|{_SCORES_VERSION}".encode()).hexdigest()
     os.makedirs(_SCORES_DIR, exist_ok=True)
@@ -206,11 +241,15 @@ def _ensure_oracle_scores(sf_dir: str) -> None:
         "ORDER BY doc_id").fetchall()
     dc = con.execute(
         "SELECT doc_id, text FROM documents ORDER BY doc_id").fetchall()
+    qf = con.execute(
+        f"SELECT doc_id, text FROM ({QUALITY_FIXTURE_SQL}) "
+        "ORDER BY doc_id").fetchall()
     con.close()
 
     if "scored" not in _BC:
         _BC["scored"] = {"langid": langid_model.train(),
-                         "lm": ngram_model.train()}
+                         "lm": ngram_model.train(),
+                         "quality": quality_model.train()}
     models = _BC["scored"]
 
     def score_frame(rows):
@@ -226,10 +265,21 @@ def _ensure_oracle_scores(sf_dir: str) -> None:
             "ppl": pd.array([float(x) for x in ppls], dtype="float64"),
         })
 
-    for name, rows in (("transcripts", tr), ("documents", dc)):
+    def quality_frame(rows):
+        ids = [r[0] for r in rows]
+        texts = [r[1] for r in rows]
+        qs = quality_model.score(texts, models["quality"])
+        return pd.DataFrame({
+            "doc_id": pd.array(ids, dtype="int64"),
+            "q_score": pd.array([float(x) for x in qs], dtype="float64"),
+        })
+
+    for name, frame in (("transcripts", score_frame(tr)),
+                        ("documents", score_frame(dc)),
+                        ("quality", quality_frame(qf))):
         tmp = os.path.join(_SCORES_DIR, f".{name}.tmp")
-        pq.write_table(pa.Table.from_pandas(score_frame(rows),
-                                            preserve_index=False), tmp)
+        pq.write_table(pa.Table.from_pandas(frame, preserve_index=False),
+                       tmp)
         os.replace(tmp, os.path.join(_SCORES_DIR, f"{name}.parquet"))
     tmp = tag_path + ".tmp"
     with open(tmp, "w") as fh:
@@ -806,6 +856,28 @@ def _q_lang_stats(spark, sf_dir):
     return textstats.lang_stats(_docs(spark, sf_dir))
 
 
+def _q_quality_model_scores(spark, sf_dir):
+    """LEARNED quality-classifier gate (r4 verdict #2 — the primary
+    filter of CCNet/FineWeb-style pipelines): broadcast hashed-trigram
+    linear model scores the junk-injection fixture; keep = score ≥ 0.5.
+    Fully oracled via the score-parquet pattern: the Python reference
+    (models/quality.py — bit-identical float64) provides q_score as
+    fixture data, and the threshold decision + scaling are recomputed in
+    SQL downstream of the join."""
+    from data_quality_check_spark.models import quality
+
+    _ensure_oracle_scores(sf_dir)
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    fx = spark.sql(QUALITY_FIXTURE_SQL)
+    out = textstats.quality_model_table(fx, _models(spark),
+                                        threshold=quality.THRESHOLD)
+    return out.select(
+        "doc_id",
+        _scaled(F.col("q_score"), 1e6).alias("q_score_u"),
+        "keep_quality",
+    )
+
+
 def _q_text_langid(spark, sf_dir):
     _ensure_oracle_scores(sf_dir)
     out = textstats.langid_table(_docs(spark, sf_dir), _models(spark))
@@ -1004,7 +1076,38 @@ def _q_multimodal_frames(spark, sf_dir):
     return multimodal.frame_sample_plan(media, every_ms=1000)
 
 
+# Consolidated out of the driver's 50-entry grading window (r4 verdict
+# #1) — each of these is transitively covered by a gate that REMAINS in
+# the window (its oracle SQL is a sub-CTE or projection of the survivor's
+# oracle), and all stay fully oracled locally via tests/test_gate.py:
+#   qf_validate        ⊂ qf_pipeline (vf reasons) + json_validate (D1-D6)
+#   qf_scrub           ⊂ qf_pipeline.text_scrubbed (+ tri-engine fuzz)
+#   dedup_groups       ⊂ dedup_apply / dedup_embedding_groups (same CC CTE)
+#   dedup_embedding    ⊂ dedup_embedding_groups (same pairs CTE)
+#   emb_quantize       ⊂ ann_lsh_top1 / ann_ivf_top1 (_DEQ_CTE formula)
+#   text_fingerprint   ⊂ dedup_exact / corpus_curation (same md5(norm))
+#   lang_stats         ⊂ corpus_drift (per-language counts/shares)
+#   events_window      ⊂ stream_window_counts (windowed agg) + event_sessions
+#   multimodal_meta    ⊂ multimodal_features / _frames (same mm_base CTE)
+_EXTRA_GATES = frozenset({
+    "qf_validate", "qf_scrub", "dedup_groups", "dedup_embedding",
+    "emb_quantize", "text_fingerprint", "lang_stats", "events_window",
+    "multimodal_meta",
+})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The driver-graded registry: exactly the ≤50 gates in the window."""
+    return {k: v for k, v in _queries_all().items()
+            if k not in _EXTRA_GATES}
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Consolidated gates — outside the driver window, still test-swept."""
+    return {k: v for k, v in _queries_all().items() if k in _EXTRA_GATES}
+
+
+def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qf_pipeline": _q_qf_pipeline,
         "qf_validate": _q_qf_validate,
@@ -1053,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_documents": _q_profile_documents,
         "corpus_drift": _q_corpus_drift,
         "text_langid": _q_text_langid,
+        "quality_model_scores": _q_quality_model_scores,
         "stream_window_counts": _q_stream_window_counts,
         "stream_conv_stats": _q_stream_conv_stats,
         "stream_incremental_dedup": _q_stream_incremental_dedup,
@@ -1087,6 +1191,17 @@ def _reasons_join(reasons_expr: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    """Driver-graded oracles — one per queries() entry."""
+    return {k: v for k, v in _oracle_sql_all().items()
+            if k not in _EXTRA_GATES}
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    """Oracles for the consolidated extra_queries() gates."""
+    return {k: v for k, v in _oracle_sql_all().items() if k in _EXTRA_GATES}
+
+
+def _oracle_sql_all() -> dict[str, str]:
     vf = rules.validation_flags_sql(CFG)
     hf = rules.heuristic_flags_sql(CFG)
     all_reasons = rules.reasons_sql(vf + hf)
@@ -1143,6 +1258,18 @@ SELECT conv_id, turn_idx,
   CAST(floor(_conf * 1e6) AS BIGINT) AS lang_conf_u,
   CAST(floor(least(_ppl, 1e6) * 1e3) AS BIGINT) AS ppl_m
 FROM d
+"""
+
+    from data_quality_check_spark.models import quality as _quality_model
+
+    quality_model_scores = f"""
+WITH fx AS ({QUALITY_FIXTURE_SQL})
+SELECT fx.doc_id,
+  CAST(floor(sc.q_score * 1e6) AS BIGINT) AS q_score_u,
+  sc.q_score >= {_quality_model.THRESHOLD} AS keep_quality
+FROM fx
+JOIN read_parquet('{_SCORES_DIR}/quality.parquet') sc
+  ON fx.doc_id = sc.doc_id
 """
 
     text_langid = f"""
@@ -1655,6 +1782,7 @@ GROUP BY 1, 2
         "json_validate": jsonl.validation_oracle_sql(),
         "qf_pipeline_full": qf_pipeline_full,
         "text_langid": text_langid,
+        "quality_model_scores": quality_model_scores,
         "qf_pipeline": qf_pipeline,
         "qf_validate": qf_validate,
         "qf_features": qf_features,

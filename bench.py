@@ -103,7 +103,9 @@ def gate_queries(spark) -> dict[str, float]:
     import __spark_entry__ as entry
 
     times: dict[str, float] = {}
-    qs = entry.queries()
+    # driver gates + consolidated extras: keeps per-query timing cells
+    # comparable across rounds even as gates move out of the 50-window
+    qs = {**entry.queries(), **entry.extra_queries()}
     for name, fn in qs.items():
         t0 = time.time()
         try:

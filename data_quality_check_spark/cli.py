@@ -64,6 +64,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="curate: skip span-level dedup")
     ap.add_argument("--budget", type=int, default=None,
                     help="curate: pack shards under this BPE-token budget")
+    ap.add_argument("--min-quality", type=float, default=None,
+                    help="curate: drop docs scoring below this learned "
+                         "quality probability (models/quality.py); "
+                         "enables the classifier stage")
     ap.add_argument("--no-models", action="store_true",
                     help="heuristic-only pipeline (skip langid/perplexity)")
     ap.add_argument("--no-resume", action="store_true",
@@ -96,9 +100,12 @@ def main(argv: list[str] | None = None) -> int:
         docs = spark.read.parquet(args.input)
         blocked = ([h.strip() for h in args.blocklist.split(",")
                     if h.strip()] if args.blocklist else None)
+        q_bc = (broadcast_models(spark)
+                if args.min_quality is not None else None)
         out = curation.curate_corpus(
             docs, blocked_hosts=blocked, domain_cap=args.domain_cap,
-            span_dedup=not args.no_span_dedup, budget=args.budget)
+            span_dedup=not args.no_span_dedup, budget=args.budget,
+            quality_model_bc=q_bc, min_quality=args.min_quality)
         out.write.mode("overwrite").parquet(args.output)
         kept = spark.read.parquet(args.output).count()
         print(json.dumps({

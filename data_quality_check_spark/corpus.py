@@ -156,3 +156,32 @@ SYMBOL_SOUP: list[str] = [
     "@@@ ### $$$ %%% ^^^ &&& *** ((( ))) !!! ??? ;;; :::",
     "<<<>>> |||| ==== ++++ ~~~~ ```` ^^^^ %%%% &&&&",
 ]
+
+# Labeled LOW-QUALITY pool for the learned quality classifier
+# (models/quality.py) — the CCNet/fastText-supervised pattern trained
+# from-scratch on embedded data: positives are the natural SENTENCES
+# above, negatives are the web-junk modes real curation pipelines gate
+# out (SEO keyword stuffing, navigation chrome, listicle spam, cookie
+# banners, scraped-markup soup, repeated boilerplate, symbol noise).
+QUALITY_NEGATIVES: list[str] = BOILERPLATE + SYMBOL_SOUP + [
+    "buy now cheap viagra casino poker free spins bonus code deposit now",
+    "home | about | contact | privacy | terms | sitemap | login | register",
+    "click here click here click here best deals best deals best deals",
+    "SEO services cheap backlinks buy followers instant traffic guaranteed",
+    "cookie policy accept all cookies we use cookies manage preferences ok",
+    "top 10 amazing tricks doctors hate number 7 will shock you click now",
+    "aaaaaa bbbbbb cccccc dddddd eeeeee ffffff gggggg hhhhhh iiiiii jjjjjj",
+    "404 not found page not found error 404 the page you requested was not",
+    "download now free download fast download mirror 1 mirror 2 mirror 3",
+    "qwertyuiop asdfghjkl zxcvbnm qwerty asdf zxcv qaz wsx edc rfv tgb yhn",
+    "win win win jackpot jackpot slots slots slots bonus bonus free free",
+    "<div><span><a href= click </a></span></div> <br> <br> <br> &nbsp;",
+    "unsubscribe from this mailing list update your preferences view in browser",
+    "limited time offer act now dont miss out exclusive deal expires soon buy",
+    "xX_420_Xx gg ez noob lol lol lol rofl lmao xd xd xd pwned rekt gg gg",
+    "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18 19 20 next page last page",
+    "copyright all rights reserved reproduction prohibited legal notice dmca",
+    "follow us on facebook twitter instagram youtube tiktok pinterest linkedin",
+    "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr qqqq pppp oooo nnnn mmmm",
+    "%%promo%%code%%save%%big%%deal%%sale%%discount%%coupon%%voucher%%offer",
+]

@@ -19,15 +19,19 @@ from pyspark.sql.functions import pandas_udf
 
 from ..models import langid as langid_model
 from ..models import ngram as ngram_model
+from ..models import quality as quality_model
 from ..models.scoring import score_batch
 from ..schema import SCORES_TYPE
 
 
-def broadcast_models(spark: SparkSession, langid_m=None, lm=None):
-    """Train (or accept) both models and broadcast them once for the job."""
+def broadcast_models(spark: SparkSession, langid_m=None, lm=None,
+                     quality_m=None):
+    """Train (or accept) the models and broadcast them once for the job."""
     payload = {
         "langid": langid_m if langid_m is not None else langid_model.train(),
         "lm": lm if lm is not None else ngram_model.train(),
+        "quality": (quality_m if quality_m is not None
+                    else quality_model.train()),
     }
     return spark.sparkContext.broadcast(payload)
 
@@ -62,3 +66,18 @@ def make_scores_udf(bc, *, timed: bool = False):
             yield pd.DataFrame(row)
 
     return scores
+
+
+def make_quality_udf(bc):
+    """pandas UDF text -> double: learned quality probability in [0, 1]
+    (models/quality.py). Same broadcast-once / iterator-form / pure-numpy
+    discipline as the langid+ppl scorer; scores are bit-identical across
+    batch geometry (per-text-contiguous float64 reductions)."""
+
+    @pandas_udf("double")
+    def qscore(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        m = bc.value["quality"]  # once per task
+        for s in batches:
+            yield pd.Series(quality_model.score(s.tolist(), m))
+
+    return qscore

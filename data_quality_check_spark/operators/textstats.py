@@ -180,6 +180,25 @@ def langid_table(docs: DataFrame, bc_models, text_col: str = "text") -> DataFram
     )
 
 
+def quality_model_table(docs: DataFrame, bc_models,
+                        text_col: str = "text",
+                        threshold: float | None = None) -> DataFrame:
+    """Learned quality-classifier scoring over a document corpus
+    (models/quality.py): (doc_id, q_score, keep_quality). The primary
+    gate of CCNet/FineWeb-style pipelines — a broadcast linear model over
+    hashed trigrams, scored batch-at-a-time with zero per-row Python."""
+    from ..functions.udfs import make_quality_udf
+    from ..models import quality
+
+    thr = quality.THRESHOLD if threshold is None else threshold
+    qs = make_quality_udf(bc_models)
+    return (
+        docs.withColumn("_q", qs(F.col(text_col)))
+        .select("doc_id", F.col("_q").alias("q_score"),
+                (F.col("_q") >= F.lit(float(thr))).alias("keep_quality"))
+    )
+
+
 def chunk_documents(docs: DataFrame, max_tokens: int = 128,
                     overlap: int = 0, text_col: str = "text",
                     min_tokens: int = 1) -> DataFrame:

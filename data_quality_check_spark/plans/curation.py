@@ -37,18 +37,32 @@ def curate_corpus(
     strata_fracs: dict[str, float] | None = None,
     strata_default: float = 1.0,
     budget: int | None = None,
+    quality_model_bc=None,
+    min_quality: float | None = None,
 ) -> DataFrame:
     """Curate a documents table (doc_id, text[, lang, url]).
 
     Returns the surviving docs with `text_deduped` (when span_dedup),
     `host` (when domain stages ran), and `n_tokens`/`shard_id` (when
     `budget` is set — BPE subword units). Domain stages require a `url`
-    column; balancing requires `strata_col`."""
+    column; balancing requires `strata_col`.
+
+    quality_model_bc: a broadcast_models() handle — when given, the
+    LEARNED quality classifier (models/quality.py) filters docs scoring
+    below `min_quality` (default quality.THRESHOLD) right after the
+    heuristic stage, the CCNet/FineWeb gate order (cheap rules first,
+    model score second, dedup last)."""
     from ..operators import dedup, domains, sampling, textstats
 
     q = textstats.quality_scores(docs, cfg).filter("passes") \
         .select("doc_id")
     cur = docs.join(q, "doc_id")
+
+    if quality_model_bc is not None:
+        qm = textstats.quality_model_table(
+            cur, quality_model_bc, threshold=min_quality)
+        cur = cur.join(
+            qm.filter("keep_quality").select("doc_id"), "doc_id")
 
     if blocked_hosts is not None or domain_cap is not None:
         cur = domains.with_host(cur)

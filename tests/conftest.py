@@ -48,9 +48,10 @@ def bc_models(spark):
 
 @pytest.fixture(scope="session")
 def models():
-    from data_quality_check_spark.models import langid, ngram
+    from data_quality_check_spark.models import langid, ngram, quality
 
-    return {"langid": langid.train(), "lm": ngram.train()}
+    return {"langid": langid.train(), "lm": ngram.train(),
+            "quality": quality.train()}
 
 
 @pytest.fixture(scope="session")

@@ -61,3 +61,29 @@ def test_cli_curate_mode(spark, tmp_path, capsys):
     assert "h0.com" not in hosts
     caps = cur.groupBy("host").count().collect()
     assert all(r["count"] <= 50 for r in caps)
+
+
+def test_curate_quality_model_stage(spark, bc_models):
+    """curate_corpus's learned-quality stage flag: junk docs are dropped
+    at the classifier threshold, natural docs survive, and the stage
+    composes with the rest of the chain."""
+    from pyspark.sql import functions as F
+
+    from data_quality_check_spark.plans import curation
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    junk = ("$$$ click here buy now !!! free offer ### subscribe to win "
+            "@@@ prize promo code save big deal")
+    fx = docs.withColumn(
+        "text", F.when(F.col("doc_id") % 19 == 0, F.lit(junk))
+        .otherwise(F.col("text")))
+    base = curation.curate_corpus(fx, span_dedup=False)
+    gated = curation.curate_corpus(fx, span_dedup=False,
+                                   quality_model_bc=bc_models)
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    kept = {r["doc_id"] for r in gated.select("doc_id").collect()}
+    dropped = base_ids - kept
+    assert dropped, "quality stage dropped nothing"
+    # exactly the injected junk docs (that survived the heuristics) go
+    assert all(d % 19 == 0 for d in dropped)
+    assert all(d % 19 != 0 for d in kept)

@@ -12,8 +12,20 @@ import gate_harness as gh
 
 SF = "/root/testdata/sf0.001"
 
-_QUERIES = entry.queries()
-_ORACLES = entry.oracle_sql()
+# driver-window gates + the consolidated extras: the local sweep grades
+# ALL of them, the driver grades the first 50 of queries()
+_QUERIES = {**entry.queries(), **entry.extra_queries()}
+_ORACLES = {**entry.oracle_sql(), **entry.extra_oracle_sql()}
+
+
+def test_driver_window_holds():
+    """The driver grades exactly the first 50 registry entries (r4
+    verdict #1): queries() must never exceed 50 or a gate silently
+    escapes the oracle."""
+    q = entry.queries()
+    assert len(q) <= 50, f"{len(q)} driver gates > 50-entry window"
+    # and every driver gate must carry an oracle twin
+    assert set(q) == set(entry.oracle_sql())
 
 
 @pytest.mark.parametrize("name", sorted(_ORACLES))

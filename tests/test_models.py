@@ -78,9 +78,80 @@ def test_fused_scorer_bit_identical(models):
 def test_models_are_broadcast_friendly():
     import pickle
 
-    m = {"langid": langid.train(), "lm": ngram.train()}
+    from data_quality_check_spark.models import quality
+
+    m = {"langid": langid.train(), "lm": ngram.train(),
+         "quality": quality.train()}
     payload = pickle.dumps(m)
     assert len(payload) < 8 << 20  # broadcast stays small (< 8 MB)
     m2 = pickle.loads(payload)
     t = ["The weather today is sunny with a light breeze."]
     assert langid.predict(t, m2["langid"])[0][0] == "en"
+
+
+# --- learned quality classifier (models/quality.py, r4 verdict #2) -------
+
+def test_quality_separates_natural_from_junk(models):
+    from data_quality_check_spark.models import quality
+
+    natural = [s for ss in corpus.SENTENCES.values() for s in ss]
+    junk = corpus.QUALITY_NEGATIVES + [
+        "$$$ click here buy now !!! free offer ### subscribe to win",
+        "qqq www eee rrr ttt yyy uuu iii ooo ppp qqq www eee rrr ttt",
+    ]
+    s_nat = quality.score(natural, models["quality"])
+    s_junk = quality.score(junk, models["quality"])
+    # training data scores are allowed to be optimistic; the gate margin
+    # that matters is the fixture's, pinned by the gate sweep — here we
+    # pin a wide margin around THRESHOLD for both pools
+    assert s_nat.min() > quality.THRESHOLD + 0.2
+    assert s_junk.max() < quality.THRESHOLD - 0.03
+
+
+def test_quality_batch_geometry_invariance(models):
+    from data_quality_check_spark.models import quality
+
+    texts = [s for ss in corpus.SENTENCES.values() for s in ss[:5]]
+    texts += corpus.QUALITY_NEGATIVES[:5] + ["", None, "ab", "héllo wörld"]
+    whole = quality.score(texts, models["quality"])
+    for i, t in enumerate(texts):
+        one = quality.score([t], models["quality"])
+        assert one[0] == whole[i]  # bit-identical
+    # and across a shuffled batch order
+    idx = list(range(len(texts)))[::-1]
+    rev = quality.score([texts[i] for i in idx], models["quality"])
+    for j, i in enumerate(idx):
+        assert rev[j] == whole[i]
+
+
+def test_quality_empty_scores_zero(models):
+    from data_quality_check_spark.models import quality
+
+    s = quality.score(["", None, "ab"], models["quality"])
+    assert s.tolist() == [0.0, 0.0, 0.0]
+
+
+def test_quality_spark_parity_across_partitioning(spark, bc_models, models):
+    """The Spark UDF path must be bit-identical to the Python reference
+    AND invariant to partitioning/batch geometry (the score-parquet
+    oracle pattern rests on exactly this)."""
+    from pyspark.sql import functions as F
+
+    from data_quality_check_spark.models import quality
+    from data_quality_check_spark.operators import textstats
+
+    texts = [s for ss in corpus.SENTENCES.values() for s in ss[:6]]
+    texts += corpus.QUALITY_NEGATIVES[:6] + ["", "ab"]
+    ref = quality.score(texts, models["quality"])
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for parts in (1, 7):
+        out = textstats.quality_model_table(
+            df.repartition(parts), bc_models)
+        got = {r["doc_id"]: r["q_score"] for r in out.collect()}
+        for i in range(len(texts)):
+            assert got[i] == ref[i]  # bit-identical, any geometry
+    # keep flag matches the threshold decision
+    out = textstats.quality_model_table(df, bc_models)
+    for r in out.collect():
+        assert r["keep_quality"] == (ref[r["doc_id"]] >= quality.THRESHOLD)
