@@ -846,6 +846,22 @@ def _q_bigram_lm(spark, sf_dir):
     return ngrams.bigram_model(_docs(spark, sf_dir), min_count=2)
 
 
+BPE_GATE_MERGES = 12
+
+
+def _q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer TRAINING (r4 verdict #3): learn the
+    merge table from the corpus — iterative global-argmax pair merges
+    over the distinct-word vocabulary. The oracle twin unrolls the same
+    loop into chained SQL stages, so the merge SEQUENCE (order, pairs,
+    counts — not just the set) is hash-checked."""
+    from data_quality_check_spark.operators import bpe
+
+    merges = bpe.bpe_train(_docs(spark, sf_dir),
+                           n_merges=BPE_GATE_MERGES)
+    return bpe.merges_table(spark, merges)
+
+
 def _q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary builder: 100 most frequent tokens via map-side
     combine + TakeOrderedAndProject (no global sort)."""
@@ -1149,6 +1165,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": _q_corpus_curation,
         "corpus_curation_web": _q_corpus_curation_web,
         "vocab_topk": _q_vocab_topk,
+        "bpe_merges": _q_bpe_merges,
         "ngram_counts": _q_ngram_counts,
         "bigram_lm": _q_bigram_lm,
         "corpus_mixture": _q_corpus_mixture,
@@ -1550,6 +1567,7 @@ FROM documents
 SELECT doc_id, md5({norm}) AS fingerprint FROM documents
 """
 
+    from data_quality_check_spark.operators import bpe as bpe_mod
     from data_quality_check_spark.operators import domains as domains_mod
     from data_quality_check_spark.operators import ngrams as ngrams_mod
     from data_quality_check_spark.operators import profile as profile_mod
@@ -1834,6 +1852,7 @@ GROUP BY 1, 2
         "pack_shards_bpe": sampling.pack_shards_sql(
             PACK_BUDGET, textstats.bpe_token_estimate_sql("text")),
         "vocab_topk": vocab_topk,
+        "bpe_merges": bpe_mod.bpe_merges_sql(n_merges=BPE_GATE_MERGES),
         "ngram_counts": ngrams_mod.ngram_counts_sql(n=3, min_count=2),
         "bigram_lm": ngrams_mod.bigram_model_sql(min_count=2),
         "corpus_mixture": corpus_mixture,

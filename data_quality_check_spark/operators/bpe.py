@@ -1,0 +1,232 @@
+"""Distributed BPE tokenizer TRAINING (learn the merge table from the
+corpus) and learned-merge application — making the token-budget unit
+self-contained (r4 verdict #3).
+
+Algorithm (Sennrich et al. 2016, the standard subword-BPE): start from
+per-word character sequences (plus an end-of-word marker), repeatedly
+take the globally most frequent adjacent symbol pair and merge it into
+one symbol. Each merge step is inherently sequential (step k+1's counts
+depend on step k's merge), so training is a loop of small Spark jobs —
+the distributed shape every corpus-scale BPE trainer has:
+
+  * the working table is the DISTINCT-WORD vocabulary with counts, not
+    the corpus: one map-side-combinable word count over the corpus, then
+    every iteration touches only |vocab| rows (~10^6-10^7 at web scale,
+    vs 10^11 docs);
+  * pair counting per iteration is a narrow explode over the symbol
+    array + one map-side-combinable sum;
+  * the argmax pair comes back to the driver as ONE row per iteration
+    (documented bounded collect — the merge decision IS the model);
+  * merge application is a pure string expression (no shuffle); lineage
+    is truncated with localCheckpoint every few iterations so the plan
+    does not grow linearly with the merge count.
+
+MERGE-APPLICATION SEMANTICS (shared with the SQL twin): greedy leftmost
+non-overlapping, via the doubled-space trick — double every separator,
+then replace ' l  r ' with ' lr '. Each pair occurrence owns one space
+on each side, so consecutive occurrences ("a a a a" with merge a+a →
+"aa aa") are all found in one left-to-right replace() pass; Spark's
+Java String.replace and DuckDB's replace() both scan leftmost
+non-overlapping, so the engines agree by construction and
+bpe_merges_sql() re-derives the identical merge sequence.
+
+Only explicit ASCII/Latin-1 regex classes are used (repo invariant);
+the '(.)' char-split matches codepoints identically in Java and RE2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+EOW = "</w>"
+WS = "[ \t\n\r]+"
+# truncate pathological "words" (base64 blobs, minified JS) before
+# spelling them out: a 10^4-char token would explode into a 10^4-symbol
+# sequence and dominate every iteration for zero vocab value
+MAX_WORD_CHARS = 64
+_CHECKPOINT_EVERY = 8
+
+
+def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, cnt) over the lowercased whitespace-token corpus — the one
+    corpus-wide pass; everything after runs on the vocabulary."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), WS),
+                     lambda w: w != F.lit(""))
+    return (
+        docs.select(F.explode(words).alias("word"))
+        .filter(F.length("word") <= MAX_WORD_CHARS)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def _spell(word_col) -> object:
+    """'hello' -> 'h e l l o </w>' (space-separated symbol sequence)."""
+    return F.concat(F.regexp_replace(word_col, "(.)", "$1 "), F.lit(EOW))
+
+
+def _apply_merge(seq_col, left: str, right: str) -> object:
+    """One merge step on a space-separated symbol sequence — the
+    doubled-space greedy-leftmost replace (see module docstring)."""
+    padded = F.concat(F.lit(" "),
+                      F.replace(seq_col, F.lit(" "), F.lit("  ")),
+                      F.lit(" "))
+    merged = F.replace(padded,
+                       F.lit(f" {left}  {right} "),
+                       F.lit(f" {left}{right} "))
+    return F.trim(F.replace(merged, F.lit("  "), F.lit(" ")))
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 12,
+              text_col: str = "text") -> list[dict]:
+    """Learn `n_merges` BPE merges from the corpus.
+
+    Returns the merge table as a list of rows
+    [{'step', 'left', 'right', 'merged', 'cnt'}, ...] in merge order —
+    the model artifact (a few thousand rows at real vocab sizes; it
+    broadcasts, never shuffles). Ties break on (count DESC, left ASC,
+    right ASC) — total and engine-identical (binary string order).
+
+    SIDE EFFECT: runs 1 + n_merges eager Spark jobs (the word count and
+    one argmax per merge) and localCheckpoints the working vocabulary —
+    training is an action loop, not a lazy plan.
+    """
+    vocab = (_word_counts(docs, text_col)
+             .select(_spell(F.col("word")).alias("seq"), "cnt")
+             .localCheckpoint())
+    merges: list[dict] = []
+    for step in range(n_merges):
+        syms = F.split(F.col("seq"), " ")
+        pairs = (
+            vocab.select(syms.alias("_s"), "cnt")
+            .select(F.explode(F.arrays_zip(
+                F.slice(F.col("_s"), 1, F.size("_s") - 1).alias("l"),
+                F.slice(F.col("_s"), 2, F.size("_s") - 1).alias("r"),
+            )).alias("p"), "cnt")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("c"))
+        )
+        top = (pairs.orderBy(F.col("c").desc(), "l", "r").limit(1)
+               .collect())  # ONE row per iteration, by design
+        if not top:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merges.append({"step": step, "left": left, "right": right,
+                       "merged": left + right, "cnt": cnt})
+        vocab = vocab.select(
+            _apply_merge(F.col("seq"), left, right).alias("seq"), "cnt")
+        if (step + 1) % _CHECKPOINT_EVERY == 0:
+            vocab = vocab.localCheckpoint()
+    return merges
+
+
+def merges_table(spark, merges: list[dict]) -> DataFrame:
+    """The merge list as a DataFrame (step, lhs, rhs, merged, cnt) —
+    lhs/rhs rather than left/right because LEFT/RIGHT are reserved words
+    in ANSI SQL and the twin must alias the same names."""
+    return spark.createDataFrame(
+        [(m["step"], m["left"], m["right"], m["merged"], m["cnt"])
+         for m in merges],
+        "step int, lhs string, rhs string, merged string, cnt long")
+
+
+def apply_merges_to_word(word: str, merges: list[dict]) -> list[str]:
+    """Python reference: tokenize ONE word with the learned table (same
+    greedy-leftmost semantics as the distributed form) — for tests and
+    driver-side spot checks."""
+    seq = " ".join(list(word)) + (" " if word else "") + EOW
+    for m in merges:
+        padded = " " + seq.replace(" ", "  ") + " "
+        padded = padded.replace(f" {m['left']}  {m['right']} ",
+                                f" {m['left']}{m['right']} ")
+        seq = padded.replace("  ", " ").strip()
+    return seq.split(" ")
+
+
+def learned_token_counts(docs: DataFrame, merges: list[dict],
+                         text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens_learned): per-doc subword count under the
+    LEARNED merge table — the trained replacement for the fixed-rule
+    textstats.bpe_token_estimate.
+
+    Scale shape: the merge chain (N sequential string replaces) is
+    applied to the DISTINCT lowercased tokens only — vocabulary-sized
+    work — then piece counts join back to the exploded corpus and sum
+    per doc. The join is a broadcast when the vocab is small, a
+    word-keyed shuffle otherwise; either way the corpus text never
+    carries the chain.
+    """
+    words = F.filter(F.split(F.lower(F.col(text_col)), WS),
+                     lambda w: w != F.lit(""))
+    tok = (docs.select("doc_id", F.explode(words).alias("word"))
+           .withColumn("word", F.substring("word", 1, MAX_WORD_CHARS)))
+    vocab = tok.select("word").distinct()
+    seq = _spell(F.col("word"))
+    for m in merges:
+        seq = _apply_merge(seq, m["left"], m["right"])
+    # own projection before size(split(...)): CollapseProject would
+    # otherwise inline the whole replace chain into the size() argument
+    # only once — harmless — but keeping the rule uniform (CLAUDE.md)
+    pieces = (vocab.select("word", seq.alias("_seq"))
+              .select("word",
+                      F.size(F.split(F.col("_seq"), " ")).alias("n_pieces")))
+    return (
+        tok.join(pieces, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_pieces").cast("long").alias("n_tokens_learned"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twin: the SAME training loop, unrolled to n_merges CTE stages
+# ---------------------------------------------------------------------------
+
+def bpe_merges_sql(src_sql: str = "SELECT doc_id, text FROM documents",
+                   n_merges: int = 12) -> str:
+    """Generated DuckDB twin of bpe_train(): stage k recomputes the pair
+    counts of the working vocabulary, takes the (cnt DESC, l, r) argmax,
+    and applies the doubled-space greedy replace — the same formulas as
+    the Spark loop, so the merge SEQUENCE (not just the set) must match.
+    The iterative driver loop is unrolled into n_merges chained CTEs
+    (same codegen-twin discipline as minhash_pairs_sql). Every CTE is
+    MATERIALIZED: DuckDB inlines CTEs by default, which re-derives the
+    whole v0..vk chain once per consumer — O(n_merges^2) stage
+    evaluations (measured 363 s vs 3 s on the fixture)."""
+    parts = [f"""
+w0 AS MATERIALIZED (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text),
+      '{WS}'), x -> x <> '')) AS w
+    FROM ({src_sql})
+  ) WHERE length(w) <= {MAX_WORD_CHARS}
+  GROUP BY 1
+),
+v0 AS MATERIALIZED (
+  SELECT rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' {EOW}'
+           AS seq,
+         cnt
+  FROM w0
+)"""]
+    for k in range(n_merges):
+        parts.append(f"""
+p{k} AS MATERIALIZED (
+  SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (SELECT string_split(seq, ' ') AS s, cnt FROM v{k}),
+       LATERAL unnest(range(1, len(s))) t(i)
+  GROUP BY 1, 2
+),
+t{k} AS MATERIALIZED (SELECT l, r, c FROM p{k} ORDER BY c DESC, l, r LIMIT 1),
+v{k + 1} AS MATERIALIZED (
+  SELECT trim(replace(
+           replace(' ' || replace(seq, ' ', '  ') || ' ',
+                   ' ' || l || '  ' || r || ' ',
+                   ' ' || l || r || ' '),
+           '  ', ' ')) AS seq,
+         cnt
+  FROM v{k}, t{k}
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {k} AS step, l AS lhs, r AS rhs, l || r AS merged, "
+        f"c AS cnt FROM t{k}"
+        for k in range(n_merges))
+    return "WITH " + ",".join(parts) + "\n" + unions
