@@ -573,6 +573,15 @@ def _q_ann_lsh_top1(spark, sf_dir):
     return top.select("vec_id", "neighbor_id")
 
 
+def _q_ann_lsh_top5(spark, sf_dir):
+    """ANN top-k for k>1 (r4 verdict #4): the k-row ranking users
+    actually consume, under the EXACT tie rule — integer int8-code dot
+    products + one IEEE sqrt/divide, so rank boundaries are engine-
+    identical with no float-margin assumption (lsh_topk_sql twin)."""
+    top = similarity.lsh_topk(_emb(spark, sf_dir), k=5, exact_ties=True)
+    return top.select("vec_id", "rank", "neighbor_id")
+
+
 def _q_ann_ivf_top1(spark, sf_dir):
     """IVF top-1 under the FULL oracle: fixed SQL-reproducible quantizer
     (init='by_id', iters=0 — the 16 smallest-id vectors), real posting/
@@ -1151,6 +1160,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": _q_emb_quantize,
         "ann_top1": _q_ann_top1,
         "ann_lsh_top1": _q_ann_lsh_top1,
+        "ann_lsh_top5": _q_ann_lsh_top5,
         "ann_ivf_top1": _q_ann_ivf_top1,
         "domain_caps": _q_domain_caps,
         "domain_stats": _q_domain_stats,
@@ -1830,6 +1840,7 @@ GROUP BY 1, 2
         "emb_quantize": similarity.QUANTIZE_SQL,
         "ann_top1": ann_top1,
         "ann_lsh_top1": similarity.lsh_top1_sql(),
+        "ann_lsh_top5": similarity.lsh_topk_sql(k=5),
         "ann_ivf_top1": similarity.ivf_top1_sql(n_cells=16, nprobe=4),
         "domain_caps": domains_mod.domain_caps_sql(
             URLS_FIXTURE_SQL, DOMAIN_CAP, BLOCKED_HOSTS),

@@ -330,6 +330,42 @@ def write_index_meta(spark: SparkSession, path: str, row: tuple,
      .write.mode("overwrite").json(os.path.join(path, "meta")))
 
 
+def write_index_nonce(spark: SparkSession, path: str) -> str:
+    """Crash-atomicity marker for multi-dataset index saves (r4 ADVICE):
+    the save protocol is nonce FIRST, data files second, meta (carrying
+    the nonce) LAST. A crash anywhere in between leaves the two nonces
+    disagreeing, so a load can never silently pair stale metadata (e.g.
+    an old bucket spec) with freshly rewritten data files — the failure
+    mode of the meta-last-only protocol."""
+    import uuid
+
+    nonce = uuid.uuid4().hex
+    (spark.createDataFrame([(nonce,)], "nonce string").coalesce(1)
+     .write.mode("overwrite").json(os.path.join(path, "nonce")))
+    return nonce
+
+
+def check_index_nonce(spark: SparkSession, path: str,
+                      meta_nonce: str | None) -> None:
+    """Verify the data-dir nonce matches the one recorded in meta.
+    Pre-r5 saves carry neither → skip (nothing to verify). Any mismatch
+    means an interrupted save: fail loudly instead of reading data files
+    under the wrong metadata."""
+    try:
+        row = spark.read.schema("nonce string").json(
+            os.path.join(path, "nonce")).first()
+        dir_nonce = row["nonce"] if row else None
+    except Exception:
+        dir_nonce = None
+    if meta_nonce is None and dir_nonce is None:
+        return
+    if meta_nonce != dir_nonce:
+        raise ValueError(
+            f"index at {path} is from an interrupted save "
+            f"(meta nonce {meta_nonce!r} != data nonce {dir_nonce!r}) — "
+            "re-run the save")
+
+
 def read_index_meta(spark: SparkSession, path: str, schema: str):
     """Read index metadata; falls back to the legacy driver-local
     meta.json format (pre-r4 saves) with absent fields left NULL."""

@@ -342,6 +342,9 @@ def _capped_band_pairs(bands_df: DataFrame, keys: list[str],
     the same mem/probe split as the ANN scorers and their SQL twins)."""
     from pyspark.sql import Window
 
+    from .guards import warn_window_cap
+
+    warn_window_cap("max_members", max_members)
     w = Window.partitionBy(*keys).orderBy("doc_id")
     mem = (bands_df.withColumn("_rk", F.row_number().over(w))
            .filter(F.col("_rk") <= max_members).drop("_rk"))
@@ -430,7 +433,16 @@ def dedup_lines(docs: DataFrame, text_col: str = "text") -> DataFrame:
     empty/whitespace lines are never dropped (they carry no content and
     would all collide). Reassembly memory is bounded by the INPUT row: a
     doc's collected lines total ≤ its original text, which already
-    existed as one row — no new giant-row failure mode."""
+    existed as one row — no new giant-row failure mode.
+
+    SIDE EFFECT (r4 ADVICE): building this plan runs an EAGER Spark
+    job — the multi-consumer intermediate is localCheckpointed, which
+    materializes it in executor storage at plan-construction time and
+    DROPS its lineage (an executor loss downstream fails the query
+    instead of recomputing). The alternative — recomputing the
+    subtree once per consumer — costs more than the replay risk
+    here; callers composing fully-lazy plans should expect the
+    materialization."""
     lines = docs.select(
         "doc_id",
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
@@ -529,7 +541,13 @@ def dedup_spans(docs: DataFrame, text_col: str = "text",
     key) → reassembly keyed by doc_id. Output text is whitespace-
     normalized (single spaces) — span removal has no faithful byte-level
     splice anyway. Returns (doc_id, text_deduped, n_spans,
-    n_spans_dropped) for EVERY input doc (empty docs pass through)."""
+    n_spans_dropped) for EVERY input doc (empty docs pass through).
+
+    SIDE EFFECT (r4 ADVICE): building this plan runs an EAGER Spark
+    job (default-eager localCheckpoint of the multi-consumer
+    intermediate) and drops its lineage — see dedup_lines for the
+    full tradeoff.
+    """
     from pyspark.sql import Window
 
     words = docs.select(
@@ -683,7 +701,7 @@ def minhash_build(docs: DataFrame, k: int = MINHASH_K,
     return MinHashIndex(sig, k, bands)
 
 
-_META_SCHEMA = "k int, n_bands int, buckets int, table string"
+_META_SCHEMA = "k int, n_bands int, buckets int, table string, nonce string"
 
 
 def minhash_save(index: MinHashIndex, path: str,
@@ -706,6 +724,8 @@ def minhash_save(index: MinHashIndex, path: str,
     from .. import io as dq_io
 
     spark = index.sigs.sparkSession
+    # crash-atomicity protocol (io.write_index_nonce): nonce, data, meta
+    nonce = dq_io.write_index_nonce(spark, path)
     if buckets:
         name = table or dq_io.index_table_name("mh_sigs", path)
         (index.sigs.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
@@ -716,7 +736,8 @@ def minhash_save(index: MinHashIndex, path: str,
         index.sigs.write.mode("overwrite").parquet(
             os.path.join(path, "sigs"))
     dq_io.write_index_meta(
-        spark, path, (index.k, index.n_bands, buckets or 0, name or ""),
+        spark, path,
+        (index.k, index.n_bands, buckets or 0, name or "", nonce),
         _META_SCHEMA)
 
 
@@ -731,6 +752,7 @@ def minhash_load(spark, path: str) -> MinHashIndex:
     from .. import io as dq_io
 
     meta = dq_io.read_index_meta(spark, path, _META_SCHEMA)
+    dq_io.check_index_nonce(spark, path, meta["nonce"])
     sigs = None
     if meta["table"]:
         try:
@@ -756,6 +778,9 @@ def incremental_dedup_pairs(index: MinHashIndex, new_docs: DataFrame,
     population); signatures join back on the candidate pairs only."""
     from pyspark.sql import Window
 
+    from .guards import warn_window_cap
+
+    warn_window_cap("max_band_members", max_band_members)
     new_sig = _sig_table(new_docs, index.k, index.n_bands).localCheckpoint()
     new_bands = new_sig.select(
         "doc_id", F.posexplode("band_hashes").alias("band", "band_hash"))
@@ -886,6 +911,11 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     finds all of them without a quadratic scan. The join's member side
     is rank-capped per band bucket (same hot-band guard as
     minhash_lsh_pairs — a degenerate identical-doc class stays N·cap).
+
+    SIDE EFFECT (r4 ADVICE): building this plan runs an EAGER Spark
+    job (default-eager localCheckpoint of the multi-consumer
+    intermediate) and drops its lineage — see dedup_lines for the
+    full tradeoff.
     """
     n_bands = max_hamming + 1
     width = SIMHASH_BITS // n_bands
@@ -906,6 +936,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     ).localCheckpoint()  # probe + member-rank consumers
     from pyspark.sql import Window
 
+    from .guards import warn_window_cap
+
+    warn_window_cap("max_band_members", max_band_members)
     w = Window.partitionBy("band", "band_key").orderBy("doc_id")
     mem = (sig.withColumn("_rk", F.row_number().over(w))
            .filter(F.col("_rk") <= max_band_members).drop("_rk"))

@@ -149,6 +149,9 @@ def _bounded_groups(members: DataFrame, probes: DataFrame,
     """
     from pyspark.sql import Window
 
+    from .guards import warn_window_cap
+
+    warn_window_cap("max_group", max_group)
     w = Window.partitionBy(*keys).orderBy(id_col)
     mem = (members.withColumn("_rk", F.row_number().over(w))
            .filter(F.col("_rk") <= max_group).drop("_rk"))
@@ -186,6 +189,39 @@ def _score_group_fn(id_col: str):
         iu, ju = np.nonzero(qids[:, None] != mids[None, :])
         return pd.DataFrame({
             id_col: qids[iu], "neighbor_id": mids[ju], "cos": sims[iu, ju],
+        })
+    return score
+
+
+def _score_group_int_fn(id_col: str):
+    """applyInPandas scorer emitting EXACT integers: for every
+    (probe, member) pair, the int8-code dot product (int64 matmul —
+    every partial sum ≤ dim·127², exact) and the member's squared code
+    norm. The cosine ordering of dequantized vectors reduces to
+    d / sqrt(nb2) per probe (scales cancel: cos = d·s_a·s_b/127² /
+    (s_a/127·√a2 · s_b/127·√b2) = d/√(a2·b2), and a2 is probe-constant)
+    — so ranking needs only ONE correctly-rounded IEEE sqrt + divide on
+    exact integer inputs: NO reduction-order dependence, any engine
+    computes the identical key (the r4-verdict #4 epsilon-free tie
+    rule)."""
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        members = pdf[pdf["probe"] == 0]
+        probes = pdf[pdf["probe"] == 1]
+        if not len(members) or not len(probes):
+            return pd.DataFrame({id_col: [], "neighbor_id": [],
+                                 "dot": [], "nb2": []})
+        mq = np.stack([np.frombuffer(b, dtype=np.int8)
+                       for b in members["code"]]).astype(np.int64)
+        qq = np.stack([np.frombuffer(b, dtype=np.int8)
+                       for b in probes["code"]]).astype(np.int64)
+        mids = members[id_col].to_numpy()
+        qids = probes[id_col].to_numpy()
+        d = qq @ mq.T
+        b2 = (mq * mq).sum(axis=1)
+        iu, ju = np.nonzero(qids[:, None] != mids[None, :])
+        return pd.DataFrame({
+            id_col: qids[iu], "neighbor_id": mids[ju],
+            "dot": d[iu, ju], "nb2": b2[ju],
         })
     return score
 
@@ -396,6 +432,20 @@ def _post_fn(bc, id_col: str, vec_col: str, probes: int):
     return post
 
 
+# byte bound on ivf_build's driver-side k-means training sample: the
+# row cap alone is dim-blind (100k rows × dim 4096 × 8 B ≈ 3 GB through
+# toPandas); 256 MB of float64 training data is plenty for a coarse
+# quantizer at any dim
+SAMPLE_MAX_BYTES = 256 << 20
+
+
+def _bounded_sample_rows(sample: int, dim: int, n_cells: int) -> int:
+    """Dim-aware row cap for the quantizer training sample:
+    rows·dim·8 ≤ SAMPLE_MAX_BYTES, never below n_cells (k-means needs at
+    least one row per centroid)."""
+    return max(n_cells, min(sample, SAMPLE_MAX_BYTES // max(1, dim * 8)))
+
+
 def ivf_build(emb: DataFrame, id_col: str = "vec_id",
               vec_col: str = "embedding", n_cells: int | None = None,
               sample: int = 100_000, iters: int = 10,
@@ -414,6 +464,11 @@ def ivf_build(emb: DataFrame, id_col: str = "vec_id",
     function of the data that the DuckDB twin (ivf_top1_sql) reproduces —
     the fully oracled gate form. init='sample' + iters>0 is the quality
     path (k-means), covered by the recall sweep.
+
+    The driver-side training sample is bounded by BYTES, not rows
+    (r4 ADVICE): `sample` rows is additionally capped so
+    rows·dim·8 ≤ SAMPLE_MAX_BYTES — at dim 4096 the 100k default would
+    otherwise pull ~3 GB through toPandas.
     """
     spark = emb.sparkSession
     n_total = emb.count()
@@ -426,6 +481,8 @@ def ivf_build(emb: DataFrame, id_col: str = "vec_id",
                .orderBy(id_col).limit(n_cells)
                .orderBy(id_col).select(vec_col)).toPandas()
     else:
+        first = emb.select(vec_col).head()
+        sample = _bounded_sample_rows(sample, len(first[0]), n_cells)
         pdf = (emb.select(id_col, vec_col)
                .withColumn("_h", F.xxhash64(F.col(id_col)))
                .orderBy("_h").limit(sample)
@@ -441,7 +498,7 @@ def ivf_build(emb: DataFrame, id_col: str = "vec_id",
 
 
 _IVF_META_SCHEMA = ("id_col string, vec_col string, n_cells int, "
-                    "buckets int, table string")
+                    "buckets int, table string, nonce string")
 
 
 def ivf_save(index: IvfIndex, path: str, buckets: int | None = None,
@@ -464,6 +521,8 @@ def ivf_save(index: IvfIndex, path: str, buckets: int | None = None,
     from .. import io as dq_io
 
     spark = index.posted.sparkSession
+    # crash-atomicity protocol (io.write_index_nonce): nonce, data, meta
+    nonce = dq_io.write_index_nonce(spark, path)
     if buckets:
         name = table or dq_io.index_table_name("ivf_post", path)
         (index.posted.write.bucketBy(buckets, "cell")
@@ -482,7 +541,7 @@ def ivf_save(index: IvfIndex, path: str, buckets: int | None = None,
     dq_io.write_index_meta(
         spark, path,
         (index.id_col, index.vec_col, index.n_cells,
-         buckets or 0, name or ""), _IVF_META_SCHEMA)
+         buckets or 0, name or "", nonce), _IVF_META_SCHEMA)
 
 
 def ivf_load(spark, path: str) -> IvfIndex:
@@ -495,6 +554,7 @@ def ivf_load(spark, path: str) -> IvfIndex:
     from .. import io as dq_io
 
     meta = dq_io.read_index_meta(spark, path, _IVF_META_SCHEMA)
+    dq_io.check_index_nonce(spark, path, meta["nonce"])
     rows = (spark.read.parquet(os.path.join(path, "centroids"))
             .orderBy("cell").collect())
     cent = np.asarray([r["centroid"] for r in rows], dtype=np.float64)
@@ -518,7 +578,13 @@ def ivf_query(index: IvfIndex, queries: DataFrame, k: int = 1,
     groups. The member pool is capped (smallest `max_group` ids) and the
     probe side salted BEFORE the applyInPandas shuffle (_bounded_groups),
     so even a degenerate cell — billions of identical embeddings — never
-    materializes as one group."""
+    materializes as one group.
+
+    SIDE EFFECT (r4 ADVICE): building this plan runs an EAGER Spark
+    job (default-eager localCheckpoint of the multi-consumer
+    intermediate) and drops its lineage — see dedup_lines for the
+    full tradeoff.
+    """
     id_col, vec_col = index.id_col, index.vec_col
     nprobe = min(nprobe, index.n_cells)
     schema = f"{id_col} long, cell long, code binary, scale double"
@@ -601,7 +667,8 @@ def n_planes_for(n_vectors: int, target_bucket: int = TARGET_BUCKET) -> int:
 def lsh_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
              vec_col: str = "embedding", tables: int = N_TABLES,
              planes: int | None = None,
-             max_group: int = MAX_GROUP) -> DataFrame:
+             max_group: int = MAX_GROUP,
+             exact_ties: bool = False) -> DataFrame:
     """Approximate top-k: random-hyperplane buckets × `tables` hash tables;
     candidates = bucket collisions in any table; cosine re-rank over
     dequantized int8 codes.
@@ -613,7 +680,20 @@ def lsh_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
     bucket-equality, so shuffle is linear in N and work is quadratic only
     within buckets (≈ N²/2^planes per table). Fully oracle-checkable:
     hyperplanes, planes-from-count schedule, quantization, member cap and
-    tie order are all reproduced by lsh_top1_sql()."""
+    tie order are all reproduced by lsh_top1_sql()/lsh_topk_sql().
+
+    exact_ties=True ranks by the REDUCTION-ORDER-FREE key
+    d/sqrt(nb2) over exact int8-code integers (_score_group_int_fn) —
+    identical candidate set and cosine ORDER as the default float path
+    (scales cancel), but every arithmetic step is exact-int or one
+    correctly-rounded IEEE op, so k>1 rank boundaries cannot drift
+    between engines; this is the mode the ann_lsh_top5 gate pins.
+
+    SIDE EFFECT (r4 ADVICE): building this plan runs an EAGER Spark
+    job (default-eager localCheckpoint of the multi-consumer
+    intermediate) and drops its lineage — see dedup_lines for the
+    full tradeoff.
+    """
     first = emb.select(vec_col).head()
     if first is None:
         raise ValueError("lsh_topk: empty embedding table")
@@ -657,6 +737,28 @@ def lsh_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
     # bucket can never materialize as one applyInPandas group
     grouped = _bounded_groups(bucketed, bucketed, ["table", "bucket"],
                               id_col, max_group)
+    from pyspark.sql import Window
+
+    if exact_ties:
+        cand = (
+            grouped.groupBy("table", "bucket", "salt")
+            .applyInPandas(
+                _score_group_int_fn(id_col),
+                schema=f"{id_col} long, neighbor_id long, "
+                       "dot long, nb2 long")
+            # a pair found in several tables carries IDENTICAL exact
+            # integers — min() is just the dedup
+            .groupBy(id_col, "neighbor_id")
+            .agg(F.min("dot").alias("dot"), F.min("nb2").alias("nb2"))
+        )
+        key = F.when(F.col("nb2") > 0,
+                     F.col("dot") / F.sqrt(F.col("nb2")))
+        w = (Window.partitionBy(id_col)
+             .orderBy(key.desc_nulls_last(), F.col("neighbor_id")))
+        return (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .drop("dot", "nb2"))
+
     cand = (
         grouped.groupBy("table", "bucket", "salt")
         .applyInPandas(_score_group_fn(id_col),
@@ -664,7 +766,6 @@ def lsh_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
         .groupBy(id_col, "neighbor_id")
         .agg(F.max("cos").alias("cos"))
     )
-    from pyspark.sql import Window
     w = (Window.partitionBy(id_col)
          .orderBy(F.col("cos").desc(), F.col("neighbor_id")))
     return (cand.withColumn("rank", F.row_number().over(w))
@@ -709,10 +810,15 @@ def quantize_embeddings(emb: DataFrame, id_col: str = "vec_id",
 # boundary (pinned by tests/test_similarity.py::test_decision_margins_are_wide,
 # which asserts a wide margin on every decision at every sf). This is an
 # intentional exception to the bit-identity invariant that model scores
-# carry: making the comparisons reduction-order-free (integer dot products
-# of the int8 codes) would overflow BIGINT at realistic dims (d²·n > 2^63),
-# so a FIXTURE change that narrows a margin must widen the fixture, not
-# the twin. Approximation QUALITY is covered engine-free by BENCH/ann_recall.
+# carry, and since r5 it applies ONLY to the bucket/cell ASSIGNMENT bits:
+# the top-k RANK comparison is closed exactly by the exact_ties path
+# (lsh_topk(exact_ties=True) / lsh_topk_sql) — int8-code dot products and
+# squared norms are exact integers (≤ dim·127² per partial sum, exact in
+# any fold order) and the ranking key d/sqrt(nb2) is one correctly-rounded
+# IEEE sqrt+divide, so no margin assumption remains on rank boundaries.
+# A FIXTURE change that narrows a sign-bit margin must still widen the
+# fixture, not the twin. Approximation QUALITY is covered engine-free by
+# BENCH/ann_recall.
 
 # shared DuckDB CTE: raw double vectors + their int8-dequantized twins
 # (same floor(x/s*127) codes the Spark posting carries, dequantized in the
@@ -744,15 +850,11 @@ SELECT vec_id, neighbor_id FROM (
 ) WHERE rnk = 1"""
 
 
-def lsh_top1_sql(tables: int = N_TABLES,
-                 target_bucket: int = TARGET_BUCKET,
-                 max_group: int = MAX_GROUP) -> str:
-    """DuckDB twin of lsh_topk(k=1): evaluates the SAME integer-mix
-    hyperplanes, planes-from-count schedule, bucket bits from the raw
-    float vector, int8 member codes, member cap and (cos DESC, id) tie
-    order — so the gate hash-checks the approximate path end to end."""
-    return f"""
-WITH par AS (SELECT count(*) AS n, max(len(embedding)) AS dim
+def _lsh_cand_sql(tables: int, target_bucket: int, max_group: int) -> str:
+    """Shared candidate-generation CTEs (hyperplanes → buckets → capped
+    members → collision pairs) for the LSH twins — one generator, so
+    lsh_top1_sql and lsh_topk_sql cannot drift."""
+    return f"""par AS (SELECT count(*) AS n, max(len(embedding)) AS dim
              FROM embeddings),
 pl AS (
   SELECT CASE WHEN n <= {target_bucket} THEN 2
@@ -791,8 +893,57 @@ cand AS (
   SELECT DISTINCT a.vec_id AS qid, m.vec_id AS nid
   FROM bkt a JOIN mem m ON a.t = m.t AND a.bucket = m.bucket
   WHERE m.rk <= {max_group} AND a.vec_id <> m.vec_id
-),
+)"""
+
+
+def lsh_top1_sql(tables: int = N_TABLES,
+                 target_bucket: int = TARGET_BUCKET,
+                 max_group: int = MAX_GROUP) -> str:
+    """DuckDB twin of lsh_topk(k=1): evaluates the SAME integer-mix
+    hyperplanes, planes-from-count schedule, bucket bits from the raw
+    float vector, int8 member codes, member cap and (cos DESC, id) tie
+    order — so the gate hash-checks the approximate path end to end."""
+    return f"""
+WITH {_lsh_cand_sql(tables, target_bucket, max_group)},
 {_COS_SCORED}
+"""
+
+
+def lsh_topk_sql(k: int = 5, tables: int = N_TABLES,
+                 target_bucket: int = TARGET_BUCKET,
+                 max_group: int = MAX_GROUP) -> str:
+    """DuckDB twin of lsh_topk(k, exact_ties=True): same candidate CTEs,
+    then the EXACT integer re-rank — int8-code dot products and squared
+    norms are integer-valued sums ≤ dim·127² per element (exact in
+    float64 regardless of fold order), and the ranking key d/sqrt(nb2)
+    is one correctly-rounded sqrt + divide, so the k-boundary and tie
+    order are engine-identical with NO margin assumption (retires the
+    float-order caveat for the rank comparison)."""
+    return f"""
+WITH {_lsh_cand_sql(tables, target_bucket, max_group)},
+codes AS (
+  SELECT vec_id, CASE WHEN s > 0
+    THEN list_transform(v, x -> CAST(floor(x / s * 127) AS BIGINT))
+    ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s
+        FROM e)
+),
+iscored AS (
+  SELECT c.qid, c.nid,
+    list_dot_product(qa.q, qb.q) AS d,
+    list_dot_product(qb.q, qb.q) AS b2
+  FROM cand c
+  JOIN codes qa ON qa.vec_id = c.qid
+  JOIN codes qb ON qb.vec_id = c.nid
+)
+SELECT vec_id, rank, neighbor_id FROM (
+  SELECT qid AS vec_id, nid AS neighbor_id,
+    row_number() OVER (PARTITION BY qid ORDER BY
+      CASE WHEN b2 = 0 THEN NULL ELSE d / sqrt(b2) END
+        DESC NULLS LAST,
+      nid) AS rank
+  FROM iscored
+) WHERE rank <= {k}
 """
 
 

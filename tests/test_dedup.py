@@ -259,6 +259,25 @@ def test_incremental_dedup_against_built_index(spark, docs_df, tmp_path):
     assert again == set(got)
 
 
+def test_index_load_detects_interrupted_save(spark, docs_df, tmp_path):
+    """r4 ADVICE: the save protocol is nonce → data → meta. Simulate a
+    crash between data and meta (fresh nonce, stale meta): load must
+    refuse instead of pairing stale metadata with new data files."""
+    import pytest
+
+    from data_quality_check_spark import io as dq_io
+
+    path = str(tmp_path / "mhidx")
+    idx = dedup.minhash_build(docs_df, persist=False)
+    dedup.minhash_save(idx, path)
+    # completed save loads fine
+    dedup.minhash_load(spark, path).sigs.unpersist()
+    # crash simulation: a NEW save got as far as the nonce write only
+    dq_io.write_index_nonce(spark, path)
+    with pytest.raises(ValueError, match="interrupted save"):
+        dedup.minhash_load(spark, path)
+
+
 def _majority_dup_fixture(spark, n=400):
     """Adversarial corpus: ~75% duplicates — the realistic 100 TB shape
     where the drop set is O(corpus), not tiny."""

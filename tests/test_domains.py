@@ -52,6 +52,87 @@ def test_domain_caps_keep_smallest_ids(spark):
     assert kept2 == kept
 
 
+def test_blocklist_suffix_match_closes_subdomain_evasion(spark):
+    """r4 ADVICE: blocking spam.example.net must also drop
+    a.spam.example.net (suffix match) while sparing the sibling
+    other.example.net; exact match keeps its legacy semantics."""
+    rows = [(1, "t", "https://spam.example.net/p"),
+            (2, "t", "https://a.spam.example.net/p"),
+            (3, "t", "https://deep.a.spam.example.net/p"),
+            (4, "t", "https://other.example.net/p"),
+            (5, "t", "https://example.net/p")]
+    d = domains.with_host(_df(spark, rows))
+    exact = {r["doc_id"] for r in
+             domains.blocklist_filter(d, ["spam.example.net"]).collect()}
+    assert exact == {2, 3, 4, 5}  # subdomains slip through exact match
+    sfx = {r["doc_id"] for r in
+           domains.blocklist_filter(d, ["spam.example.net"],
+                                    match="suffix").collect()}
+    assert sfx == {4, 5}
+
+
+def test_registered_domain_and_caps_key(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(i, "t", f"https://sub{i}.hot.example.net/p")
+            for i in range(20)]
+    rows += [(100, "t", "https://shop.example.co.uk/p"),
+             (101, "t", "https://example.co.uk/p"),
+             (102, "t", "https://plain.org/p")]
+    d = domains.with_host(_df(spark, rows))
+    reg = {r["doc_id"]: r["rd"] for r in d.select(
+        "doc_id", domains.registered_domain_expr(F.col("host"))
+        .alias("rd")).collect()}
+    assert reg[0] == "example.net"
+    assert reg[100] == "example.co.uk"  # multi-label public suffix
+    assert reg[101] == "example.co.uk"
+    assert reg[102] == "plain.org"
+    # key='host' lets each minted subdomain dodge the cap...
+    by_host = {r["doc_id"] for r in domains.domain_caps(d, 5).collect()}
+    assert set(range(20)) <= by_host
+    # ...key='registered' caps the whole eTLD+1 family
+    by_reg = {r["doc_id"] for r in
+              domains.domain_caps(d, 5, key="registered").collect()}
+    assert by_reg & set(range(20)) == set(range(5))
+    assert {100, 101, 102} <= by_reg
+
+
+def test_registered_domain_duckdb_twin(spark):
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    hosts = ["a.spam.example.net", "shop.example.co.uk", "example.co.uk",
+             "x.com", "com", "", "deep.a.b.co.jp"]
+    d = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {r["host"]: r["rd"] for r in d.select(
+        "host", domains.registered_domain_expr(F.col("host"))
+        .alias("rd")).collect()}
+    con = duckdb.connect()
+    for h in hosts:
+        want = con.execute(
+            "SELECT " + domains.registered_domain_sql(f"'{h}'")
+        ).fetchone()[0]
+        assert got[h] == want, (h, got[h], want)
+
+
+def test_domain_caps_warns_past_window_threshold(spark):
+    import warnings
+
+    rows = [(i, "t", "https://x.com/p") for i in range(5)]
+    d = domains.with_host(_df(spark, rows))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        domains.domain_caps(d, 1001)
+        assert any("windowGroupLimitThreshold" in str(x.message)
+                   for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        domains.domain_caps(d, 1000)
+        assert not any("windowGroupLimitThreshold" in str(x.message)
+                       for x in w)
+
+
 def test_domain_stats_rollup(spark):
     rows = [(1, "aaaa", "https://x.com/1"), (2, "bb", "https://x.com/2"),
             (3, None, "https://y.com/1")]

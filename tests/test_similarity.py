@@ -63,6 +63,25 @@ def test_lsh_topk_recall(emb, np_corpus):
     assert len(got) >= 0.8 * len(expected)  # most queries get a candidate
 
 
+def test_lsh_exact_ties_order_equals_float_path(emb):
+    """exact_ties=True must produce the SAME ranked neighbor lists as
+    the float-cosine path over the same candidates (scales cancel in the
+    cosine of dequantized codes; the key only changes the ARITHMETIC,
+    never the order) — and be rank-complete per query."""
+    a = similarity.lsh_topk(emb, k=5).collect()
+    b = similarity.lsh_topk(emb, k=5, exact_ties=True).collect()
+    fa, fb = {}, {}
+    for r in a:
+        fa.setdefault(r["vec_id"], []).append((r["rank"], r["neighbor_id"]))
+    for r in b:
+        fb.setdefault(r["vec_id"], []).append((r["rank"], r["neighbor_id"]))
+    assert fa.keys() == fb.keys()
+    for q in fa:
+        assert sorted(fa[q]) == sorted(fb[q])
+        ranks = sorted(x[0] for x in fb[q])
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
 def test_ivf_topk_recall(emb, np_corpus):
     ids, mat = np_corpus
     expected = _np_top1(ids, mat)
@@ -232,6 +251,18 @@ def test_quantize_roundtrip_error_bound(spark):
         # floor quantization: one-sided error within one step
         assert np.abs(recon - v).max() <= np.abs(v).max() / 127 + 1e-9
         assert abs(scale - np.abs(v.astype(np.float64)).max()) < 2e-6
+
+
+def test_ivf_sample_cap_is_dim_aware():
+    """r4 ADVICE: the training sample must shrink with dim so
+    rows·dim·8 stays ≤ SAMPLE_MAX_BYTES (and never below n_cells)."""
+    cap = similarity.SAMPLE_MAX_BYTES
+    assert similarity._bounded_sample_rows(100_000, 64, 16) == 100_000
+    hi = similarity._bounded_sample_rows(100_000, 4096, 16)
+    assert hi * 4096 * 8 <= cap
+    assert hi < 100_000
+    # floor: k-means still gets one row per centroid
+    assert similarity._bounded_sample_rows(100_000, 1 << 30, 16) == 16
 
 
 def test_ivf_index_save_load_roundtrip(spark, emb, tmp_path):
