@@ -610,6 +610,15 @@ BLOCKED_HOSTS = ["spam.example.net"]
 DOMAIN_CAP = 20
 
 
+def _q_ann_ivf_top5(spark, sf_dir):
+    """IVF k-row ranking under the exact integer tie rule (extra-coverage
+    twin of ann_ivf_top1 — same candidates, ivf_topk_sql re-rank)."""
+    top = similarity.ivf_topk(_emb(spark, sf_dir), k=5, n_cells=16,
+                              nprobe=4, iters=0, init="by_id",
+                              exact_ties=True)
+    return top.select("vec_id", "rank", "neighbor_id")
+
+
 def _q_domain_caps(spark, sf_dir):
     """URL/domain curation chain: host extraction (engine-portable regex)
     → blocklist anti-join (broadcast) → per-domain doc cap (smallest ids
@@ -871,6 +880,18 @@ def _q_bpe_merges(spark, sf_dir):
     return bpe.merges_table(spark, merges)
 
 
+def _q_bpe_learned_tokens(spark, sf_dir):
+    """Train→apply composition under the oracle: the merge table learned
+    by bpe_train is applied back to the corpus (learned_token_counts —
+    vocabulary-sized replace chain + join-back), and the DuckDB twin
+    replays BOTH stages (bpe_apply_sql)."""
+    from data_quality_check_spark.operators import bpe
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe.bpe_train(docs, n_merges=BPE_GATE_MERGES)
+    return bpe.learned_token_counts(docs, merges)
+
+
 def _q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary builder: 100 most frequent tokens via map-side
     combine + TakeOrderedAndProject (no global sort)."""
@@ -1114,10 +1135,14 @@ def _q_multimodal_frames(spark, sf_dir):
 #   lang_stats         ⊂ corpus_drift (per-language counts/shares)
 #   events_window      ⊂ stream_window_counts (windowed agg) + event_sessions
 #   multimodal_meta    ⊂ multimodal_features / _frames (same mm_base CTE)
+# plus extra-coverage gates that EXTEND a driver gate rather than being
+# subsumed by one (still fully oracled in the local sweep):
+#   bpe_learned_tokens ⊃ bpe_merges (train→apply composition twin)
+#   ann_ivf_top5       ⊃ ann_ivf_top1 (k-row exact-integer rank twin)
 _EXTRA_GATES = frozenset({
     "qf_validate", "qf_scrub", "dedup_groups", "dedup_embedding",
     "emb_quantize", "text_fingerprint", "lang_stats", "events_window",
-    "multimodal_meta",
+    "multimodal_meta", "bpe_learned_tokens", "ann_ivf_top5",
 })
 
 
@@ -1162,6 +1187,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_top1": _q_ann_lsh_top1,
         "ann_lsh_top5": _q_ann_lsh_top5,
         "ann_ivf_top1": _q_ann_ivf_top1,
+        "ann_ivf_top5": _q_ann_ivf_top5,
         "domain_caps": _q_domain_caps,
         "domain_stats": _q_domain_stats,
         "text_tokens": _q_text_tokens,
@@ -1176,6 +1202,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation_web": _q_corpus_curation_web,
         "vocab_topk": _q_vocab_topk,
         "bpe_merges": _q_bpe_merges,
+        "bpe_learned_tokens": _q_bpe_learned_tokens,
         "ngram_counts": _q_ngram_counts,
         "bigram_lm": _q_bigram_lm,
         "corpus_mixture": _q_corpus_mixture,
@@ -1842,6 +1869,8 @@ GROUP BY 1, 2
         "ann_lsh_top1": similarity.lsh_top1_sql(),
         "ann_lsh_top5": similarity.lsh_topk_sql(k=5),
         "ann_ivf_top1": similarity.ivf_top1_sql(n_cells=16, nprobe=4),
+        "ann_ivf_top5": similarity.ivf_topk_sql(k=5, n_cells=16,
+                                                nprobe=4),
         "domain_caps": domains_mod.domain_caps_sql(
             URLS_FIXTURE_SQL, DOMAIN_CAP, BLOCKED_HOSTS),
         "domain_stats": domains_mod.domain_stats_sql(URLS_FIXTURE_SQL),
@@ -1864,6 +1893,8 @@ GROUP BY 1, 2
             PACK_BUDGET, textstats.bpe_token_estimate_sql("text")),
         "vocab_topk": vocab_topk,
         "bpe_merges": bpe_mod.bpe_merges_sql(n_merges=BPE_GATE_MERGES),
+        "bpe_learned_tokens": bpe_mod.bpe_apply_sql(
+            n_merges=BPE_GATE_MERGES),
         "ngram_counts": ngrams_mod.ngram_counts_sql(n=3, min_count=2),
         "bigram_lm": ngrams_mod.bigram_model_sql(min_count=2),
         "corpus_mixture": corpus_mixture,

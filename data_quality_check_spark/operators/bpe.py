@@ -181,17 +181,9 @@ def learned_token_counts(docs: DataFrame, merges: list[dict],
 # DuckDB twin: the SAME training loop, unrolled to n_merges CTE stages
 # ---------------------------------------------------------------------------
 
-def bpe_merges_sql(src_sql: str = "SELECT doc_id, text FROM documents",
-                   n_merges: int = 12) -> str:
-    """Generated DuckDB twin of bpe_train(): stage k recomputes the pair
-    counts of the working vocabulary, takes the (cnt DESC, l, r) argmax,
-    and applies the doubled-space greedy replace — the same formulas as
-    the Spark loop, so the merge SEQUENCE (not just the set) must match.
-    The iterative driver loop is unrolled into n_merges chained CTEs
-    (same codegen-twin discipline as minhash_pairs_sql). Every CTE is
-    MATERIALIZED: DuckDB inlines CTEs by default, which re-derives the
-    whole v0..vk chain once per consumer — O(n_merges^2) stage
-    evaluations (measured 363 s vs 3 s on the fixture)."""
+def _train_ctes(src_sql: str, n_merges: int) -> list[str]:
+    """The unrolled training chain (w0 → v0 → p/t/v per merge) shared by
+    bpe_merges_sql and bpe_apply_sql — one generator, no drift."""
     parts = [f"""
 w0 AS MATERIALIZED (
   SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
@@ -225,8 +217,64 @@ v{k + 1} AS MATERIALIZED (
          cnt
   FROM v{k}, t{k}
 )""")
+    return parts
+
+
+def bpe_merges_sql(src_sql: str = "SELECT doc_id, text FROM documents",
+                   n_merges: int = 12) -> str:
+    """Generated DuckDB twin of bpe_train(): stage k recomputes the pair
+    counts of the working vocabulary, takes the (cnt DESC, l, r) argmax,
+    and applies the doubled-space greedy replace — the same formulas as
+    the Spark loop, so the merge SEQUENCE (not just the set) must match.
+    The iterative driver loop is unrolled into n_merges chained CTEs
+    (same codegen-twin discipline as minhash_pairs_sql). Every CTE is
+    MATERIALIZED: DuckDB inlines CTEs by default, which re-derives the
+    whole v0..vk chain once per consumer — O(n_merges^2) stage
+    evaluations (measured 363 s vs 0.6 s on the fixture)."""
+    parts = _train_ctes(src_sql, n_merges)
     unions = "\nUNION ALL\n".join(
         f"SELECT {k} AS step, l AS lhs, r AS rhs, l || r AS merged, "
         f"c AS cnt FROM t{k}"
         for k in range(n_merges))
     return "WITH " + ",".join(parts) + "\n" + unions
+
+
+def bpe_apply_sql(src_sql: str = "SELECT doc_id, text FROM documents",
+                  n_merges: int = 12) -> str:
+    """DuckDB twin of the full train→apply composition
+    learned_token_counts(docs, bpe_train(docs)): the training chain
+    learns the merges, then the application chain spells the distinct
+    (truncated) corpus tokens and replays each learned merge with the
+    SAME doubled-space replace, and piece counts join back to the
+    exploded corpus — mirroring the Spark operator stage for stage."""
+    parts = _train_ctes(src_sql, n_merges)
+    parts.append(f"""
+tok AS MATERIALIZED (
+  SELECT doc_id,
+    CASE WHEN length(w) > {MAX_WORD_CHARS}
+         THEN substring(w, 1, {MAX_WORD_CHARS}) ELSE w END AS word
+  FROM (
+    SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),
+      '{WS}'), x -> x <> '')) AS w
+    FROM ({src_sql})
+  )
+),
+s0 AS MATERIALIZED (
+  SELECT word,
+    rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' {EOW}' AS seq
+  FROM (SELECT DISTINCT word FROM tok)
+)""")
+    for k in range(n_merges):
+        parts.append(f"""
+s{k + 1} AS MATERIALIZED (
+  SELECT word, trim(replace(
+           replace(' ' || replace(seq, ' ', '  ') || ' ',
+                   ' ' || l || '  ' || r || ' ',
+                   ' ' || l || r || ' '),
+           '  ', ' ')) AS seq
+  FROM s{k}, t{k}
+)""")
+    final = (f"\nSELECT doc_id, CAST(sum(len(string_split(seq, ' '))) "
+             f"AS BIGINT) AS n_tokens_learned\n"
+             f"FROM tok JOIN s{n_merges} USING (word) GROUP BY doc_id")
+    return "WITH " + ",".join(parts) + final

@@ -226,6 +226,23 @@ def _score_group_int_fn(id_col: str):
     return score
 
 
+def _rank_exact(scored: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Shared exact-integer re-rank tail for the ANN top-k paths: dedup
+    pairs (identical exact integers from any table/cell), rank by
+    d/sqrt(nb2) (one correctly-rounded IEEE sqrt+divide on exact ints;
+    zero-norm members rank last), tie-break by neighbor_id."""
+    from pyspark.sql import Window
+
+    cand = (scored.groupBy(id_col, "neighbor_id")
+            .agg(F.min("dot").alias("dot"), F.min("nb2").alias("nb2")))
+    key = F.when(F.col("nb2") > 0, F.col("dot") / F.sqrt(F.col("nb2")))
+    w = (Window.partitionBy(id_col)
+         .orderBy(key.desc_nulls_last(), F.col("neighbor_id")))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .drop("dot", "nb2"))
+
+
 def _norm_rows(mat: np.ndarray) -> np.ndarray:
     """Row-normalize with the zero-norm guard (zero vector → cos 0.0)."""
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -572,7 +589,8 @@ def ivf_load(spark, path: str) -> IvfIndex:
 
 
 def ivf_query(index: IvfIndex, queries: DataFrame, k: int = 1,
-              nprobe: int = 4, max_group: int = MAX_GROUP) -> DataFrame:
+              nprobe: int = 4, max_group: int = MAX_GROUP,
+              exact_ties: bool = False) -> DataFrame:
     """Approximate top-k against a built index: each query probes its
     `nprobe` nearest cells, exact cosine re-rank inside (cell × salt)
     groups. The member pool is capped (smallest `max_group` ids) and the
@@ -596,6 +614,11 @@ def ivf_query(index: IvfIndex, queries: DataFrame, k: int = 1,
         schema=schema).localCheckpoint()
     grouped = _bounded_groups(index.posted, probed, ["cell"], id_col,
                               max_group)
+    if exact_ties:
+        scored = grouped.groupBy("cell", "salt").applyInPandas(
+            _score_group_int_fn(id_col),
+            schema=f"{id_col} long, neighbor_id long, dot long, nb2 long")
+        return _rank_exact(scored, id_col, k)
     cand = (
         grouped.groupBy("cell", "salt")
         .applyInPandas(_score_group_fn(id_col),
@@ -614,12 +637,13 @@ def ivf_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
              vec_col: str = "embedding", n_cells: int | None = None,
              nprobe: int = 4, sample: int = 100_000,
              max_group: int = MAX_GROUP, iters: int = 10,
-             init: str = "sample") -> DataFrame:
+             init: str = "sample", exact_ties: bool = False) -> DataFrame:
     """One-shot IVF self-query: build the index over `emb` and query it
     with the same rows (the gate/bench form of ivf_build + ivf_query)."""
     index = ivf_build(emb, id_col, vec_col, n_cells=n_cells, sample=sample,
                       iters=iters, init=init)
-    return ivf_query(index, emb, k=k, nprobe=nprobe, max_group=max_group)
+    return ivf_query(index, emb, k=k, nprobe=nprobe, max_group=max_group,
+                     exact_ties=exact_ties)
 
 
 N_TABLES = 8
@@ -740,24 +764,10 @@ def lsh_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
     from pyspark.sql import Window
 
     if exact_ties:
-        cand = (
-            grouped.groupBy("table", "bucket", "salt")
-            .applyInPandas(
-                _score_group_int_fn(id_col),
-                schema=f"{id_col} long, neighbor_id long, "
-                       "dot long, nb2 long")
-            # a pair found in several tables carries IDENTICAL exact
-            # integers — min() is just the dedup
-            .groupBy(id_col, "neighbor_id")
-            .agg(F.min("dot").alias("dot"), F.min("nb2").alias("nb2"))
-        )
-        key = F.when(F.col("nb2") > 0,
-                     F.col("dot") / F.sqrt(F.col("nb2")))
-        w = (Window.partitionBy(id_col)
-             .orderBy(key.desc_nulls_last(), F.col("neighbor_id")))
-        return (cand.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-                .drop("dot", "nb2"))
+        scored = grouped.groupBy("table", "bucket", "salt").applyInPandas(
+            _score_group_int_fn(id_col),
+            schema=f"{id_col} long, neighbor_id long, dot long, nb2 long")
+        return _rank_exact(scored, id_col, k)
 
     cand = (
         grouped.groupBy("table", "bucket", "salt")
@@ -921,40 +931,15 @@ def lsh_topk_sql(k: int = 5, tables: int = N_TABLES,
     float-order caveat for the rank comparison)."""
     return f"""
 WITH {_lsh_cand_sql(tables, target_bucket, max_group)},
-codes AS (
-  SELECT vec_id, CASE WHEN s > 0
-    THEN list_transform(v, x -> CAST(floor(x / s * 127) AS BIGINT))
-    ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
-  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s
-        FROM e)
-),
-iscored AS (
-  SELECT c.qid, c.nid,
-    list_dot_product(qa.q, qb.q) AS d,
-    list_dot_product(qb.q, qb.q) AS b2
-  FROM cand c
-  JOIN codes qa ON qa.vec_id = c.qid
-  JOIN codes qb ON qb.vec_id = c.nid
-)
-SELECT vec_id, rank, neighbor_id FROM (
-  SELECT qid AS vec_id, nid AS neighbor_id,
-    row_number() OVER (PARTITION BY qid ORDER BY
-      CASE WHEN b2 = 0 THEN NULL ELSE d / sqrt(b2) END
-        DESC NULLS LAST,
-      nid) AS rank
-  FROM iscored
-) WHERE rank <= {k}
+{_INT_SCORED}
+{_int_rank_sql(k)}
 """
 
 
-def ivf_top1_sql(n_cells: int = 16, nprobe: int = 4,
-                 max_group: int = MAX_GROUP) -> str:
-    """DuckDB twin of ivf_topk(k=1, init='by_id', iters=0): the quantizer
-    is the n_cells smallest-id vectors in id order, so cell assignment
-    (rank by cosine-vs-centroid, ties to the lower cell), nprobe probing,
-    the member cap and the final re-rank are all SQL-reproducible."""
-    return f"""
-WITH {_DEQ_CTE},
+def _ivf_cand_sql(n_cells: int, nprobe: int, max_group: int) -> str:
+    """Shared candidate CTEs (by-id quantizer → cell assignment → capped
+    members → probe pairs) for the IVF twins."""
+    return f"""{_DEQ_CTE},
 cent AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
   FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_cells})
@@ -975,8 +960,60 @@ cand AS (
   FROM asg q JOIN mem m ON q.cell = m.cell
   WHERE q.rk <= {nprobe} AND m.mrk <= {max_group}
     AND q.vec_id <> m.vec_id
+)"""
+
+
+_INT_SCORED = """codes AS (
+  SELECT vec_id, CASE WHEN s > 0
+    THEN list_transform(v, x -> CAST(floor(x / s * 127) AS BIGINT))
+    ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s
+        FROM e)
 ),
+iscored AS (
+  SELECT c.qid, c.nid,
+    list_dot_product(qa.q, qb.q) AS d,
+    list_dot_product(qb.q, qb.q) AS b2
+  FROM cand c
+  JOIN codes qa ON qa.vec_id = c.qid
+  JOIN codes qb ON qb.vec_id = c.nid
+)"""
+
+
+def _int_rank_sql(k: int) -> str:
+    return f"""
+SELECT vec_id, rank, neighbor_id FROM (
+  SELECT qid AS vec_id, nid AS neighbor_id,
+    row_number() OVER (PARTITION BY qid ORDER BY
+      CASE WHEN b2 = 0 THEN NULL ELSE d / sqrt(b2) END
+        DESC NULLS LAST,
+      nid) AS rank
+  FROM iscored
+) WHERE rank <= {k}
+"""
+
+
+def ivf_top1_sql(n_cells: int = 16, nprobe: int = 4,
+                 max_group: int = MAX_GROUP) -> str:
+    """DuckDB twin of ivf_topk(k=1, init='by_id', iters=0): the quantizer
+    is the n_cells smallest-id vectors in id order, so cell assignment
+    (rank by cosine-vs-centroid, ties to the lower cell), nprobe probing,
+    the member cap and the final re-rank are all SQL-reproducible."""
+    return f"""
+WITH {_ivf_cand_sql(n_cells, nprobe, max_group)},
 {_COS_SCORED}
+"""
+
+
+def ivf_topk_sql(k: int = 5, n_cells: int = 16, nprobe: int = 4,
+                 max_group: int = MAX_GROUP) -> str:
+    """DuckDB twin of ivf_topk(k, init='by_id', iters=0,
+    exact_ties=True): same candidates, exact-integer re-rank (see
+    lsh_topk_sql for the arithmetic argument)."""
+    return f"""
+WITH {_ivf_cand_sql(n_cells, nprobe, max_group)},
+{_INT_SCORED}
+{_int_rank_sql(k)}
 """
 
 

@@ -82,6 +82,22 @@ def test_lsh_exact_ties_order_equals_float_path(emb):
         assert ranks == list(range(1, len(ranks) + 1))
 
 
+def test_ivf_exact_ties_order_equals_float_path(emb):
+    """IVF twin of the LSH exact-ties parity: same ranked neighbor lists
+    as the float path over the same candidates."""
+    kw = dict(k=3, n_cells=16, nprobe=4, iters=0, init="by_id")
+    a = similarity.ivf_topk(emb, **kw).collect()
+    b = similarity.ivf_topk(emb, exact_ties=True, **kw).collect()
+    fa, fb = {}, {}
+    for r in a:
+        fa.setdefault(r["vec_id"], []).append((r["rank"], r["neighbor_id"]))
+    for r in b:
+        fb.setdefault(r["vec_id"], []).append((r["rank"], r["neighbor_id"]))
+    assert fa.keys() == fb.keys()
+    for q in fa:
+        assert sorted(fa[q]) == sorted(fb[q])
+
+
 def test_ivf_topk_recall(emb, np_corpus):
     ids, mat = np_corpus
     expected = _np_top1(ids, mat)

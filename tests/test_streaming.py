@@ -68,6 +68,49 @@ def test_stream_matches_batch_and_resumes(spark, tmp_path):
             r["keep"], tuple(r["drop_reasons"]), r["text_scrubbed"])
 
 
+def test_stream_with_models_matches_batch(spark, bc_models, tmp_path):
+    """Model-scored streaming labels (langid + perplexity drop rules)
+    must be BIT-identical to the batch pipeline's — the stream ≡ batch
+    replay property extended to the broadcast-model path (scores carry
+    the geometry-invariance guarantee, so micro-batch boundaries cannot
+    shift them)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows = _rows(0, 20)
+    # junk rows that the model rules (not heuristics alone) will score
+    rows += [("c2", i, ["user", "assistant"][i % 2],
+              "zxqj vvkw qqpf " * 4 + str(i), None,
+              datetime(2024, 1, 1, tzinfo=timezone.utc))
+             for i in range(6)]
+    _write_batch(spark, src, rows)
+    df = dqs.read_transcript_stream(spark, src)
+    lab = dqs.label_stream(df, with_models=True, bc_models=bc_models)
+    q = dqs.start_parquet_sink(lab, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+    q.stop()
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 26
+
+    from data_quality_check_spark.plans import pipeline
+    batch = pipeline.label_turns(
+        spark.read.parquet(src), with_models=True, bc_models=bc_models,
+        dup_strategy="none").collect()
+    b = {(r["conv_id"], r["turn_idx"]):
+         (r["keep"], tuple(r["drop_reasons"]), r["lang"],
+          r["lang_conf"], r["ppl"])
+         for r in batch}
+    dropped_by_model = 0
+    for r in got:
+        assert b[(r["conv_id"], r["turn_idx"])] == (
+            r["keep"], tuple(r["drop_reasons"]), r["lang"],
+            r["lang_conf"], r["ppl"])  # bit-identical scores
+        if any(x in r["drop_reasons"] for x in ("lang_conf", "perplexity",
+                                                "lang", "ppl")):
+            dropped_by_model += 1
+    assert dropped_by_model > 0  # the model rules actually fired
+
+
 def test_stream_dedup_within_watermark(spark, tmp_path):
     src = str(tmp_path / "src")
     out = str(tmp_path / "out")
