@@ -77,8 +77,19 @@ def _apply_merge(seq_col, left: str, right: str) -> object:
     return F.trim(F.replace(merged, F.lit("  "), F.lit(" ")))
 
 
+# Below this many distinct words, the merge loop runs DRIVER-SIDE on the
+# collected (word, cnt) vocabulary — how every standard BPE trainer
+# works (the model is learned from the word-count dict, which is tiny
+# relative to the corpus). 2M words × ~80 B ≈ 160 MB: a bounded,
+# documented collect. Above it, the fully-distributed iteration loop
+# runs instead; both paths share the same primitives, so the merge
+# sequence is identical (pinned by tests).
+DRIVER_VOCAB_MAX = 2_000_000
+
+
 def bpe_train(docs: DataFrame, n_merges: int = 12,
-              text_col: str = "text") -> list[dict]:
+              text_col: str = "text",
+              driver_vocab_max: int = DRIVER_VOCAB_MAX) -> list[dict]:
     """Learn `n_merges` BPE merges from the corpus.
 
     Returns the merge table as a list of rows
@@ -87,13 +98,26 @@ def bpe_train(docs: DataFrame, n_merges: int = 12,
     broadcasts, never shuffles). Ties break on (count DESC, left ASC,
     right ASC) — total and engine-identical (binary string order).
 
-    SIDE EFFECT: runs 1 + n_merges eager Spark jobs (the word count and
-    one argmax per merge) and localCheckpoints the working vocabulary —
-    training is an action loop, not a lazy plan.
+    The corpus-wide word count always runs distributed (one map-side-
+    combinable aggregate). The ITERATION loop then runs driver-side on
+    the collected vocabulary when it has ≤ driver_vocab_max entries
+    (bounded collect; one process instead of n_merges Spark jobs — the
+    merge decisions depend only on the word-count dict), falling back to
+    the distributed per-iteration loop for larger vocabularies. Both
+    paths produce the identical merge sequence (same pair counting, same
+    tie order, same doubled-space application — pinned by
+    tests/test_bpe.py).
+
+    SIDE EFFECT: runs eager Spark jobs (the word count, plus one argmax
+    per merge on the distributed path) and localCheckpoints the working
+    vocabulary — training is an action loop, not a lazy plan.
     """
-    vocab = (_word_counts(docs, text_col)
-             .select(_spell(F.col("word")).alias("seq"), "cnt")
-             .localCheckpoint())
+    wc = _word_counts(docs, text_col).localCheckpoint()
+    if wc.count() <= driver_vocab_max:
+        rows = [(r["word"], r["cnt"]) for r in wc.collect()]
+        return _train_driver(rows, n_merges)
+    vocab = wc.select(_spell(F.col("word")).alias("seq"), "cnt") \
+        .localCheckpoint()
     merges: list[dict] = []
     for step in range(n_merges):
         syms = F.split(F.col("seq"), " ")
@@ -117,6 +141,48 @@ def bpe_train(docs: DataFrame, n_merges: int = 12,
             _apply_merge(F.col("seq"), left, right).alias("seq"), "cnt")
         if (step + 1) % _CHECKPOINT_EVERY == 0:
             vocab = vocab.localCheckpoint()
+    return merges
+
+
+def _train_driver(word_counts: list[tuple[str, int]],
+                  n_merges: int) -> list[dict]:
+    """Driver-side merge loop over the collected vocabulary — identical
+    semantics to the distributed loop (same pair weights, same
+    (cnt DESC, l, r) argmax, same greedy-leftmost application via
+    symbol-list scanning, which equals the doubled-space replace on
+    space-free symbols)."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, c in word_counts:
+        syms = tuple(list(w) + [EOW])
+        vocab[syms] = vocab.get(syms, 0) + c
+    merges: list[dict] = []
+    for step in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        (left, right), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append({"step": step, "left": left, "right": right,
+                       "merged": left + right, "cnt": cnt})
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, c in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + c
+        vocab = new_vocab
     return merges
 
 

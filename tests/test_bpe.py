@@ -92,6 +92,22 @@ def test_spark_train_matches_reference(spark):
     assert got == want
 
 
+def test_driver_and_distributed_paths_identical(spark):
+    """bpe_train's driver-side fast path (vocab fits) and the fully
+    distributed iteration loop must learn the IDENTICAL merge sequence."""
+    rows = []
+    i = 0
+    for w, c in WORDS.items():
+        for _ in range(c):
+            rows.append((i, w))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = bpe.bpe_train(docs, n_merges=8)           # driver path
+    slow = bpe.bpe_train(docs, n_merges=8,
+                         driver_vocab_max=0)         # distributed path
+    assert fast == slow
+
+
 def test_learned_token_counts_matches_reference(spark):
     docs = spark.createDataFrame(
         [(0, "low lower newest"), (1, "banana bananas aaaa"),
