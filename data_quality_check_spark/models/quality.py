@@ -63,6 +63,65 @@ def train(pos: list[str] | None = None,
     return {"w": w}
 
 
+def _counts_spark(df, text_col: str) -> np.ndarray:
+    """Distributed trigram bucket counts: each Arrow batch computes its
+    local count_table (windows never cross text boundaries, so per-batch
+    tables SUM to the whole-corpus table exactly — integer arithmetic,
+    order-free), emits its nonzero (bucket, n) rows, and one
+    map-side-combinable groupBy reduces to ≤ N_BUCKETS rows collected to
+    the driver. The corpus text never moves; the shuffle carries at most
+    65k rows per map task."""
+    from pyspark.sql import functions as F
+
+    def emit(batches):
+        import pandas as pd
+
+        for p in batches:
+            c = hashing.count_table(p[text_col].tolist(), ORDER)
+            nz = np.nonzero(c)[0]
+            yield pd.DataFrame({"bucket": nz.astype(np.int64),
+                                "n": c[nz].astype(np.int64)})
+
+    rows = (df.select(text_col).mapInPandas(emit, "bucket long, n long")
+            .groupBy("bucket").agg(F.sum("n").alias("n")).collect())
+    out = np.zeros(hashing.N_BUCKETS, dtype=np.float64)
+    for r in rows:
+        out[r["bucket"]] = float(r["n"])
+    return out
+
+
+def train_spark(pos_df, neg_df, text_col: str = "text") -> dict:
+    """Train from corpus-scale labeled DataFrames — the CCNet shape
+    (positives = a trusted corpus like Wikipedia, negatives = raw crawl)
+    where the labeled sets are far too large to collect. Bucket counts
+    aggregate distributedly (_counts_spark); the closed-form NB log-odds
+    then computes on the driver over two 65k vectors. BIT-IDENTICAL to
+    train(pos_texts, neg_texts) on the same texts (integer counts are
+    order-free; the log-odds arithmetic is the same float64 expression)
+    — pinned by tests/test_models.py."""
+    cp = _counts_spark(pos_df, text_col)
+    cn = _counts_spark(neg_df, text_col)
+    w = (
+        np.log((cp + 0.5) / (cp.sum() + 0.5 * hashing.N_BUCKETS))
+        - np.log((cn + 0.5) / (cn.sum() + 0.5 * hashing.N_BUCKETS))
+    )
+    return {"w": w}
+
+
+def train_from_sources(docs, pos_sources, neg_sources,
+                       source_col: str = "source",
+                       text_col: str = "text") -> dict:
+    """Weak-supervision convenience: label by provenance (the practical
+    way corpus-scale quality labels exist — trusted source names as
+    positives, raw-crawl source names as negatives) and train
+    distributedly."""
+    from pyspark.sql import functions as F
+
+    pos = docs.filter(F.col(source_col).isin(list(pos_sources)))
+    neg = docs.filter(F.col(source_col).isin(list(neg_sources)))
+    return train_spark(pos, neg, text_col)
+
+
 def score_pass(n: int, h, seg, model: dict) -> np.ndarray:
     """Quality probabilities from a precomputed trigram pass (shared with
     langid/perplexity via models/scoring.score_batch)."""

@@ -131,6 +131,42 @@ def test_quality_empty_scores_zero(models):
     assert s.tolist() == [0.0, 0.0, 0.0]
 
 
+def test_quality_distributed_training_bit_identical(spark, models):
+    """train_spark (corpus-scale labeled frames) must produce the
+    IDENTICAL model to local train() on the same texts, under any
+    partitioning — per-batch integer bucket counts sum exactly."""
+    from data_quality_check_spark.models import quality
+
+    pos = [s for ss in corpus.SENTENCES.values() for s in ss]
+    neg = list(corpus.QUALITY_NEGATIVES)
+    local = quality.train(pos, neg)
+    pos_df = spark.createDataFrame([(t,) for t in pos], "text string")
+    neg_df = spark.createDataFrame([(t,) for t in neg], "text string")
+    for parts in (1, 7):
+        dist = quality.train_spark(pos_df.repartition(parts),
+                                   neg_df.repartition(parts))
+        assert (dist["w"] == local["w"]).all()  # bit-identical
+    # and the default embedded-pool model is the same thing
+    assert (local["w"] == models["quality"]["w"]).all()
+
+
+def test_quality_train_from_sources(spark, models):
+    """Weak-supervision path: provenance labels select the frames."""
+    from pyspark.sql import functions as F
+
+    from data_quality_check_spark.models import quality
+
+    pos = [s for ss in corpus.SENTENCES.values() for s in ss]
+    neg = list(corpus.QUALITY_NEGATIVES)
+    rows = [(t, "wiki") for t in pos] + [(t, "crawl") for t in neg]
+    docs = spark.createDataFrame(rows, "text string, source string")
+    m = quality.train_from_sources(docs, ["wiki"], ["crawl"])
+    assert (m["w"] == quality.train(pos, neg)["w"]).all()
+    # scoring with it separates the pools as usual
+    s = quality.score(pos[:5] + neg[:5], m)
+    assert s[:5].min() > 0.5 > s[5:].max()
+
+
 def test_quality_spark_parity_across_partitioning(spark, bc_models, models):
     """The Spark UDF path must be bit-identical to the Python reference
     AND invariant to partitioning/batch geometry (the score-parquet
