@@ -79,6 +79,32 @@ def test_doubled_space_greedy_run_semantics():
                                                    bpe.EOW]
 
 
+def test_apply_semantics_fuzz_replace_equals_scan():
+    """Property fuzz: the doubled-space REPLACE application must equal
+    the symbol-list SCAN reference for arbitrary words under arbitrary
+    learned merge tables — the equivalence both the driver fast path and
+    the SQL twin rest on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = "abcdeab<>/"  # dense collisions incl. EOW-ish chars
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.text(alphabet, min_size=1, max_size=10),
+                    min_size=1, max_size=8),
+           st.text(alphabet, min_size=1, max_size=12))
+    def check(train_words, probe):
+        wc = {}
+        for w in train_words:
+            wc[w] = wc.get(w, 0) + 1
+        merges = _ref_train(wc, 6)
+        for w in list(wc) + [probe]:
+            assert bpe.apply_merges_to_word(w, merges) == \
+                _ref_apply(w, merges), (w, merges)
+
+    check()
+
+
 def test_spark_train_matches_reference(spark):
     rows = []
     i = 0

@@ -167,6 +167,36 @@ def test_quality_train_from_sources(spark, models):
     assert s[:5].min() > 0.5 > s[5:].max()
 
 
+def test_quality_scores_fuzz_spark_equals_python(spark, bc_models, models):
+    """Property fuzz: arbitrary unicode texts (collected once into one
+    DataFrame job) must score bit-identically through the Spark UDF and
+    the direct Python reference — the invariant the score-parquet oracle
+    pattern rests on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_quality_check_spark.models import quality
+    from data_quality_check_spark.operators import textstats
+
+    corpus_strategy = st.lists(
+        st.one_of(st.text(max_size=80), st.none()),
+        min_size=1, max_size=30)
+
+    @settings(max_examples=5, deadline=None)  # 5 Spark jobs, 30 rows each
+    @given(corpus_strategy)
+    def check(texts):
+        ref = quality.score(texts, models["quality"])
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string")
+        got = {r["doc_id"]: r["q_score"] for r in
+               textstats.quality_model_table(
+                   df.repartition(3), bc_models).collect()}
+        for i in range(len(texts)):
+            assert got[i] == ref[i]
+
+    check()
+
+
 def test_quality_spark_parity_across_partitioning(spark, bc_models, models):
     """The Spark UDF path must be bit-identical to the Python reference
     AND invariant to partitioning/batch geometry (the score-parquet
