@@ -924,6 +924,21 @@ def _q_quality_model_scores(spark, sf_dir):
     )
 
 
+def _q_quality_buckets(spark, sf_dir):
+    """EXACT quality-decile assignment (curriculum tiers) over the junk
+    fixture — value-space histogram + integer-arithmetic CDF cut, no
+    global data sort; oracle recomputes the same histogram/CDF from the
+    score parquet."""
+    from data_quality_check_spark.models import quality
+
+    _ensure_oracle_scores(sf_dir)
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    fx = spark.sql(QUALITY_FIXTURE_SQL)
+    scored = textstats.quality_model_table(fx, _models(spark),
+                                           threshold=quality.THRESHOLD)
+    return textstats.score_buckets(scored, n_buckets=10)
+
+
 def _q_text_langid(spark, sf_dir):
     _ensure_oracle_scores(sf_dir)
     out = textstats.langid_table(_docs(spark, sf_dir), _models(spark))
@@ -1139,10 +1154,12 @@ def _q_multimodal_frames(spark, sf_dir):
 # subsumed by one (still fully oracled in the local sweep):
 #   bpe_learned_tokens ⊃ bpe_merges (train→apply composition twin)
 #   ann_ivf_top5       ⊃ ann_ivf_top1 (k-row exact-integer rank twin)
+#   quality_buckets    ⊃ quality_model_scores (curriculum-tier cut)
 _EXTRA_GATES = frozenset({
     "qf_validate", "qf_scrub", "dedup_groups", "dedup_embedding",
     "emb_quantize", "text_fingerprint", "lang_stats", "events_window",
     "multimodal_meta", "bpe_learned_tokens", "ann_ivf_top5",
+    "quality_buckets",
 })
 
 
@@ -1211,6 +1228,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_drift": _q_corpus_drift,
         "text_langid": _q_text_langid,
         "quality_model_scores": _q_quality_model_scores,
+        "quality_buckets": _q_quality_buckets,
         "stream_window_counts": _q_stream_window_counts,
         "stream_conv_stats": _q_stream_conv_stats,
         "stream_incremental_dedup": _q_stream_incremental_dedup,
@@ -1324,6 +1342,27 @@ SELECT fx.doc_id,
 FROM fx
 JOIN read_parquet('{_SCORES_DIR}/quality.parquet') sc
   ON fx.doc_id = sc.doc_id
+"""
+
+    quality_buckets = f"""
+WITH fx AS ({QUALITY_FIXTURE_SQL}),
+s AS (
+  SELECT fx.doc_id,
+    CAST(floor(sc.q_score * 1e6) AS BIGINT) AS k
+  FROM fx
+  JOIN read_parquet('{_SCORES_DIR}/quality.parquet') sc
+    ON fx.doc_id = sc.doc_id
+),
+h AS (SELECT k, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY k),
+n AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM h),
+b AS (
+  SELECT k,
+    CAST(least(9, (10 * CAST(coalesce(sum(c) OVER (ORDER BY k
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT))
+      // total) AS INT) AS bucket
+  FROM h, n
+)
+SELECT s.doc_id, b.bucket FROM s JOIN b USING (k)
 """
 
     text_langid = f"""
@@ -1838,6 +1877,7 @@ GROUP BY 1, 2
         "qf_pipeline_full": qf_pipeline_full,
         "text_langid": text_langid,
         "quality_model_scores": quality_model_scores,
+        "quality_buckets": quality_buckets,
         "qf_pipeline": qf_pipeline,
         "qf_validate": qf_validate,
         "qf_features": qf_features,

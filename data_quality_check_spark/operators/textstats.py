@@ -199,6 +199,45 @@ def quality_model_table(docs: DataFrame, bc_models,
     )
 
 
+def score_buckets(scored: DataFrame, n_buckets: int = 10,
+                  score_col: str = "q_score", id_col: str = "doc_id",
+                  scale: int = 1_000_000) -> DataFrame:
+    """EXACT quantile bucketing of a bounded score column — the
+    curriculum/mixing tiers real pipelines cut a quality score into
+    (e.g. FineWeb-style "keep top-k deciles", quality-annealed data
+    schedules).
+
+    Scale shape: a global ntile would sort the whole corpus in one
+    partition. Instead, scores in [0, 1] are keyed to floor(score·scale)
+    — a VALUE-SPACE histogram of ≤ scale+1 rows regardless of corpus
+    size — aggregated map-side; the exclusive-cumsum window then runs
+    over the tiny histogram (never the data), and rows get buckets via a
+    broadcast join on the integer key. bucket = (n·cum_before) div N in
+    pure integer arithmetic → engine-exact, deterministic, and ties
+    (equal keys) land in one bucket by construction.
+
+    SIDE EFFECT: two eager jobs — the (id, key) table localCheckpoints
+    (three consumers: histogram, total, join — without it the upstream
+    scoring subtree would run three times; 16 B/row, the repo's
+    materialize-once discipline) and the scalar total collects (bounded,
+    like mixing.py's)."""
+    k = F.floor(F.col(score_col) * scale).cast("long")
+    keyed = scored.select(F.col(id_col), k.alias("_k")).localCheckpoint()
+    hist = keyed.groupBy("_k").agg(F.count(F.lit(1)).alias("_c"))
+    total = hist.agg(F.sum("_c")).collect()[0][0]
+    buckets = hist.select(
+        "_k",
+        F.least(
+            F.lit(n_buckets - 1),
+            F.expr(f"({n_buckets} * coalesce(sum(_c) over (order by _k "
+                   f"rows between unbounded preceding and 1 preceding), "
+                   f"0)) div {total}"),
+        ).cast("int").alias("bucket"),
+    )
+    return keyed.join(F.broadcast(buckets), "_k") \
+        .select(id_col, "bucket")
+
+
 def chunk_documents(docs: DataFrame, max_tokens: int = 128,
                     overlap: int = 0, text_col: str = "text",
                     min_tokens: int = 1) -> DataFrame:

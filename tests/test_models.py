@@ -197,6 +197,31 @@ def test_quality_scores_fuzz_spark_equals_python(spark, bc_models, models):
     check()
 
 
+def test_score_buckets_exact_deciles(spark):
+    """score_buckets must equal the exact rank-based decile cut (ties
+    share a bucket) and be invariant to partitioning."""
+    from data_quality_check_spark.operators import textstats
+
+    rows = [(i, (i % 100) / 100.0) for i in range(300)]  # 3-way ties
+    df = spark.createDataFrame(rows, "doc_id long, q_score double")
+    got = {r["doc_id"]: r["bucket"] for r in
+           textstats.score_buckets(df, n_buckets=10).collect()}
+    # reference: exclusive count of strictly-smaller keys, integer cut
+    keys = {i: int((i % 100) / 100.0 * 1_000_000) for i, _ in rows}
+    for i in range(300):
+        below = sum(1 for j in keys.values() if j < keys[i])
+        assert got[i] == min(9, (10 * below) // 300)
+    got7 = {r["doc_id"]: r["bucket"] for r in
+            textstats.score_buckets(df.repartition(7),
+                                    n_buckets=10).collect()}
+    assert got7 == got
+    # monotone: higher score → same-or-higher bucket; all 10 present
+    assert sorted(set(got.values())) == list(range(10))
+    for i in range(299):
+        if keys[i] < keys[i + 1]:
+            assert got[i] <= got[i + 1]
+
+
 def test_quality_spark_parity_across_partitioning(spark, bc_models, models):
     """The Spark UDF path must be bit-identical to the Python reference
     AND invariant to partitioning/batch geometry (the score-parquet
