@@ -720,7 +720,7 @@ def _q_corpus_curation(spark, sf_dir):
 
     _docs(spark, sf_dir).createOrReplaceTempView("documents")
     d = spark.sql(CURATION_FIXTURE_SQL)
-    q = textstats.quality_scores(d, CFG).filter("passes").select("doc_id")
+    q = textstats.quality_pass_ids(d, CFG)
     s1 = d.join(q, "doc_id")
     w = Window.partitionBy(
         F.md5(dedup.normalize_text(F.col("text")))).orderBy("doc_id")
@@ -728,9 +728,21 @@ def _q_corpus_curation(spark, sf_dir):
           .filter("_rn = 1").drop("_rn"))
     s3 = sampling.stratified_sample(s2, "doc_id", "lang",
                                     STRATA_FRACS, STRATA_DEFAULT)
-    t = textstats.token_counts(s3).select("doc_id", "n_tokens")
-    packed = sampling.pack_shards(t, budget=PACK_BUDGET)
-    return packed.join(s3.select("doc_id", "lang"), "doc_id")
+    # single-pass tail (r6): the packing offsets AND the final join both
+    # consume the curated table — a narrow (doc_id, lang, n_tokens)
+    # lazy checkpoint runs the quality→dedup→stratify chain ONCE (the
+    # pack_shards offsets job materializes it) instead of once per
+    # consumer; ~24 B/row, bounded at any corpus size. n_tokens is the
+    # same whitespace-word count token_counts emits (rules.WS split).
+    n_tokens = F.coalesce(
+        F.size(F.filter(F.split(F.col("text"), rules.WS),
+                        lambda w: w != F.lit(""))),
+        F.lit(0)).cast("long")
+    tl = (s3.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+          .localCheckpoint(eager=False))
+    packed = sampling.pack_shards(tl.select("doc_id", "n_tokens"),
+                                  budget=PACK_BUDGET)
+    return packed.join(tl.select("doc_id", "lang"), "doc_id")
 
 
 # fixture for the WEB-curation capstone: span-paragraph injection (%13)

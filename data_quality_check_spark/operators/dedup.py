@@ -180,8 +180,50 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
 # near-duplicate group resolution (connected components)
 # ---------------------------------------------------------------------------
 
+# Below this many (directed) edges the connected-component resolution
+# runs DRIVER-SIDE on the collected edge list (union-find) instead of the
+# distributed label-propagation loop: the edge table of a near-dup graph
+# is O(corpus · dup-rate · cap) ids — 4M edges ≈ 64 MB, a bounded,
+# documented collect (same guard discipline as apply_dedup's drop-set
+# probe) — while the distributed loop costs 1 count-job + 2 shuffles PER
+# ROUND. Above the cap the loop runs unchanged. Both paths produce the
+# identical labeling (min component id), pinned by tests.
+DRIVER_CC_MAX_EDGES = 4_000_000
+
+
+def _union_find_min_labels(edges: list) -> dict:
+    """Driver-side union-find over (src, dst) pairs → {id: min-id-of-
+    component} — exactly resolve_groups' labeling convention."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for s, d in edges:
+        if s not in parent:
+            parent[s] = s
+        if d not in parent:
+            parent[d] = d
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rd] = rs
+    mins: dict = {}
+    for x in parent:
+        r = find(x)
+        if r not in mins or x < mins[r]:
+            mins[r] = x
+    return {x: mins[find(x)] for x in parent}
+
+
 def resolve_groups(pairs: DataFrame, a_col: str = "doc_a",
-                   b_col: str = "doc_b", max_iters: int = 50) -> DataFrame:
+                   b_col: str = "doc_b", max_iters: int = 50,
+                   driver_max_edges: int | None = DRIVER_CC_MAX_EDGES
+                   ) -> DataFrame:
     """Connected components over near-duplicate pairs: every doc labeled
     with the MIN doc id of its component (the canonical representative to
     keep; the rest are the dedup drop set).
@@ -204,7 +246,18 @@ def resolve_groups(pairs: DataFrame, a_col: str = "doc_a",
         .unionByName(pairs.select(F.col(b_col).alias("src"),
                                   F.col(a_col).alias("dst")))
         .distinct()
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    if driver_max_edges is not None:
+        # ONE bounded action (probe and fetch together — a separate
+        # probe count would recompute the pairs subtree a second time for
+        # the fetch); driver memory is capped by the threshold, never by
+        # the edge count
+        rows = edges.limit(driver_max_edges + 1).collect()
+        if len(rows) <= driver_max_edges:
+            labels = _union_find_min_labels([(r[0], r[1]) for r in rows])
+            spark = pairs.sparkSession
+            return spark.createDataFrame(
+                sorted(labels.items()), "doc_id long, group_id long")
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -670,7 +723,7 @@ FROM src s LEFT JOIN agg a ON s.doc_id = a.doc_id
 # incremental dedup: MinHash index of the KEPT corpus, queried per batch
 # ---------------------------------------------------------------------------
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 
 @dataclass
@@ -683,11 +736,30 @@ class MinHashIndex:
     sigs: DataFrame          # (doc_id, sig, band_hashes), persisted
     k: int
     n_bands: int
+    _capped: dict = field(default_factory=dict, repr=False, compare=False)
 
     @property
     def bands(self) -> DataFrame:
         return self.sigs.select(
             "doc_id", F.posexplode("band_hashes").alias("band", "band_hash"))
+
+    def capped_bands(self, max_members: int) -> DataFrame:
+        """Rank-capped band table (the `max_members` smallest doc_ids per
+        (band, band_hash) bucket — the hot-band guard pool). For a STATIC
+        index this is a pure function of the corpus, so it is computed
+        ONCE per index (lazily checkpointed, materialized by the first
+        queried batch) instead of re-running the explode + window rank
+        over the whole corpus band table for EVERY incremental batch —
+        the build-once/query-many shape the index exists for."""
+        from pyspark.sql import Window
+
+        if max_members not in self._capped:
+            w = Window.partitionBy("band", "band_hash").orderBy("doc_id")
+            cb = (self.bands.withColumn("_rk", F.row_number().over(w))
+                  .filter(F.col("_rk") <= max_members).drop("_rk")
+                  ).localCheckpoint(eager=False)
+            self._capped[max_members] = cb
+        return self._capped[max_members]
 
 
 def minhash_build(docs: DataFrame, k: int = MINHASH_K,
@@ -776,17 +848,14 @@ def incremental_dedup_pairs(index: MinHashIndex, new_docs: DataFrame,
     rank-capped per band bucket (hot-band guard: a boilerplate class in
     the corpus otherwise multiplies every matching new doc by its whole
     population); signatures join back on the candidate pairs only."""
-    from pyspark.sql import Window
-
     from .guards import warn_window_cap
 
     warn_window_cap("max_band_members", max_band_members)
     new_sig = _sig_table(new_docs, index.k, index.n_bands).localCheckpoint()
     new_bands = new_sig.select(
         "doc_id", F.posexplode("band_hashes").alias("band", "band_hash"))
-    w = Window.partitionBy("band", "band_hash").orderBy("doc_id")
-    cbands = (index.bands.withColumn("_rk", F.row_number().over(w))
-              .filter(F.col("_rk") <= max_band_members).drop("_rk"))
+    # rank cap computed once per index, not once per batch
+    cbands = index.capped_bands(max_band_members)
     cand = (
         new_bands.alias("n").join(
             cbands.alias("c"),

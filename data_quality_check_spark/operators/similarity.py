@@ -488,17 +488,25 @@ def ivf_build(emb: DataFrame, id_col: str = "vec_id",
     otherwise pull ~3 GB through toPandas.
     """
     spark = emb.sparkSession
-    n_total = emb.count()
-    if n_total == 0:
-        raise ValueError("ivf_build: empty embedding table")
     if n_cells is None:
+        # the full count job runs ONLY for the derived-n_cells form — with
+        # an explicit n_cells the build needs no corpus-wide scan before
+        # the posting pass (one less full pass; emptiness is caught by the
+        # quantizer sample below)
+        n_total = emb.count()
+        if n_total == 0:
+            raise ValueError("ivf_build: empty embedding table")
         n_cells = max(4, int(np.sqrt(n_total)))
     if init == "by_id":
         pdf = (emb.select(id_col, vec_col)
                .orderBy(id_col).limit(n_cells)
                .orderBy(id_col).select(vec_col)).toPandas()
+        if not len(pdf):
+            raise ValueError("ivf_build: empty embedding table")
     else:
         first = emb.select(vec_col).head()
+        if first is None:
+            raise ValueError("ivf_build: empty embedding table")
         sample = _bounded_sample_rows(sample, len(first[0]), n_cells)
         pdf = (emb.select(id_col, vec_col)
                .withColumn("_h", F.xxhash64(F.col(id_col)))

@@ -144,6 +144,25 @@ def quality_scores(docs: DataFrame, cfg: RuleSet = DEFAULT_RULESET,
     )
 
 
+def quality_pass_ids(docs: DataFrame, cfg: RuleSet = DEFAULT_RULESET,
+                     text_col: str = "text") -> DataFrame:
+    """doc_ids passing the heuristic quality rules — the filter stage of
+    the curation chains, with the predicate-pushdown barrier.
+
+    `quality_scores(...).filter("passes")` lets PushDownPredicates
+    substitute the whole reasons expression into the filter, re-expanding
+    every feature inline (the text re-splits ~9x per row — same blowup
+    as plans/pipeline.ruleset_diff, where it measured 58 split()
+    occurrences). The non-deterministic `_nd` projection field pins the
+    filter above the shared feature projections so the split/translate
+    work runs once per row."""
+    q = (quality_scores(docs, cfg, text_col)
+         .withColumn("_nd", F.spark_partition_id()))
+    return (q.filter(F.when(F.col("_nd") >= 0, F.col("passes"))
+                     .otherwise(F.lit(False)))
+            .select("doc_id"))
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over normalized text (stable across
     engines), used as the exact-dedup key."""

@@ -54,8 +54,7 @@ def curate_corpus(
     model score second, dedup last)."""
     from ..operators import dedup, domains, sampling, textstats
 
-    q = textstats.quality_scores(docs, cfg).filter("passes") \
-        .select("doc_id")
+    q = textstats.quality_pass_ids(docs, cfg)
     cur = docs.join(q, "doc_id")
 
     if quality_model_bc is not None:
@@ -83,8 +82,15 @@ def curate_corpus(
                                          strata_fracs, strata_default)
 
     if budget:
+        # single-pass tail (r6): pack_shards' offsets job and the final
+        # join-back both consume the curated table — a lazy checkpoint
+        # runs the quality→domains→span-dedup→stratify chain ONCE (the
+        # offsets job materializes it) instead of once per consumer.
+        # Same discipline as the operators' own multi-consumer
+        # intermediates (dedup_spans' span table).
         t = cur.withColumn(
-            "n_tokens", textstats.bpe_token_estimate(F.col(text_col)))
+            "n_tokens", textstats.bpe_token_estimate(F.col(text_col))
+        ).localCheckpoint(eager=False)
         packed = sampling.pack_shards(t.select("doc_id", "n_tokens"),
                                       budget=budget)
         cur = packed.join(t.drop("n_tokens"), "doc_id")

@@ -318,8 +318,24 @@ def ruleset_diff(df: DataFrame, cfg_old: RuleSet, cfg_new: RuleSet,
         sides[tag] = reasons
     out = out.withColumn("_r_old", sides["old"])
     out = out.withColumn("_r_new", sides["new"])
+    # The flip filter must NOT be pushed below the _r_/_f_ projections:
+    # PushDownPredicates substitutes aliases while pushing, so the pushed
+    # condition re-expands EVERY feature (split/translate/HOF) inline —
+    # measured 58 split() occurrences vs 2 in the unfiltered plan, i.e.
+    # the text re-splits ~20x per row inside one filter. Predicates (even
+    # non-deterministic ones) push through any all-deterministic Project,
+    # so the barrier must live in the PROJECT FIELDS: `_nd` is a
+    # non-deterministic column (spark_partition_id, identically >= 0)
+    # that the filter references — the projection holding it can then
+    # never host a pushed-through predicate, the filter stays on top,
+    # and every feature evaluates once per row from its shared
+    # projection. Nothing downstream needs scan-level pushdown (the
+    # derivation is narrow and reads every row regardless).
+    out = out.withColumn("_nd", F.spark_partition_id())
+    flips = (F.size("_r_old") == 0) != (F.size("_r_new") == 0)
     return (
-        out.filter((F.size("_r_old") == 0) != (F.size("_r_new") == 0))
+        out.filter(F.when(F.col("_nd") >= 0, flips)
+                   .otherwise(F.lit(False)))
         .select(
             "conv_id", "turn_idx",
             (F.size("_r_old") == 0).alias("keep_old"),

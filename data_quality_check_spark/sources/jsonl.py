@@ -285,9 +285,17 @@ def validate_json_records(
     out = out.withColumn("_parsed", parsed)
     out = out.withColumn("_var", F.expr("try_parse_json(_src)"))
     # D1: well-formedness + top-level-must-be-object (lib.rs:253-255) —
-    # json_object_keys yields non-null only for a JSON object
-    obj_keys = F.json_object_keys(F.col("_src"))
-    malformed = F.col("_src").isNull() | obj_keys.isNull()
+    # json_object_keys yields non-null only for a JSON object.
+    # Materialized in their OWN columns (like _src/_parsed/_var): the keys
+    # array is referenced by every flag arm plus each output column, and an
+    # inline json_object_keys would re-parse the raw JSON once per
+    # reference (measured 20 parses/record in the extended-spec plan —
+    # the same r02 tax the _var column already fixed for child keys).
+    out = out.withColumn("_keys", F.json_object_keys(F.col("_src")))
+    out = out.withColumn(
+        "_malformed", F.col("_src").isNull() | F.col("_keys").isNull())
+    obj_keys = F.col("_keys")
+    malformed = F.col("_malformed")
 
     arms = _spark_arms(spec, F.col("_parsed"), "$", obj_keys)
 
@@ -335,7 +343,7 @@ def validate_json_records(
     for f in spec:
         out = out.withColumn(
             f.name, F.when(~malformed, F.col("_parsed")[f.name]))
-    return out.drop("_src", "_parsed", "_var")
+    return out.drop("_src", "_parsed", "_var", "_keys", "_malformed")
 
 
 def to_transcript(validated: DataFrame) -> DataFrame:

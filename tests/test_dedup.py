@@ -121,12 +121,14 @@ def test_hot_shingle_cap_drops_boilerplate_pairs(spark):
 
 
 def test_resolve_groups_chain_converges_logarithmically(spark):
-    """Pointer jumping: a 64-long chain (diameter 63) must converge well
-    within 10 rounds (plain neighbor-min needs ~63)."""
+    """Pointer jumping (distributed path, driver fast path disabled):
+    a 64-long chain (diameter 63) must converge well within 10 rounds
+    (plain neighbor-min needs ~63)."""
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(64)], "doc_a long, doc_b long")
     got = {r["doc_id"]: r["group_id"]
-           for r in dedup.resolve_groups(pairs, max_iters=10).collect()}
+           for r in dedup.resolve_groups(pairs, max_iters=10,
+                                         driver_max_edges=None).collect()}
     assert got == {i: 0 for i in range(65)}
 
 
@@ -134,7 +136,39 @@ def test_resolve_groups_raises_on_exhaustion(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(32)], "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.resolve_groups(pairs, max_iters=2)
+        dedup.resolve_groups(pairs, max_iters=2, driver_max_edges=None)
+
+
+def test_resolve_groups_driver_path_matches_distributed(spark):
+    """The r6 driver-side union-find fast path must produce the exact
+    labeling of the distributed label-propagation loop — components,
+    min-id labels, and row set — on a mixed graph (chain + triangle +
+    isolated pair + a merge edge)."""
+    edges = ([(i, i + 1) for i in range(10)]          # chain 0..10
+             + [(20, 21), (21, 22), (20, 22)]          # triangle
+             + [(30, 31)]                              # pair
+             + [(5, 22)])                              # chain-triangle merge
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    fast = {(r["doc_id"], r["group_id"])
+            for r in dedup.resolve_groups(pairs).collect()}
+    dist = {(r["doc_id"], r["group_id"])
+            for r in dedup.resolve_groups(
+                pairs, driver_max_edges=None).collect()}
+    assert fast == dist
+    # chain+triangle collapse to min id 0; the pair keeps 30
+    assert (22, 0) in fast and (30, 30) in fast and (31, 30) in fast
+
+
+def test_resolve_groups_probe_cap_falls_back_to_distributed(spark):
+    """An edge list larger than driver_max_edges must take the
+    distributed path and still label correctly (the probe collects at
+    most cap+1 rows)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["group_id"]
+           for r in dedup.resolve_groups(pairs,
+                                         driver_max_edges=4).collect()}
+    assert got == {i: 0 for i in range(13)}
 
 
 def test_cross_contamination_finds_leaked_eval_docs(spark):
