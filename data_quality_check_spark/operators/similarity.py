@@ -230,10 +230,19 @@ def _rank_exact(scored: DataFrame, id_col: str, k: int) -> DataFrame:
     """Shared exact-integer re-rank tail for the ANN top-k paths: dedup
     pairs (identical exact integers from any table/cell), rank by
     d/sqrt(nb2) (one correctly-rounded IEEE sqrt+divide on exact ints;
-    zero-norm members rank last), tie-break by neighbor_id."""
+    zero-norm members rank last), tie-break by neighbor_id.
+
+    ONE exchange, not two: repartitioning by the probe id up front lets
+    both the pair-dedup aggregate (clustered-by (id, neighbor) is
+    satisfied by hash-on-id) and the rank window run on the same
+    partitioning. Map-side partial aggregation would win nothing here —
+    a probe's duplicate pairs come from DIFFERENT (table/cell, salt)
+    scorer groups, i.e. different partitions, so the pre-shuffle
+    partials almost never combine."""
     from pyspark.sql import Window
 
-    cand = (scored.groupBy(id_col, "neighbor_id")
+    cand = (scored.repartition(id_col)
+            .groupBy(id_col, "neighbor_id")
             .agg(F.min("dot").alias("dot"), F.min("nb2").alias("nb2")))
     key = F.when(F.col("nb2") > 0, F.col("dot") / F.sqrt(F.col("nb2")))
     w = (Window.partitionBy(id_col)
@@ -423,11 +432,14 @@ class IvfIndex:
     n_cells: int
 
 
-def _post_fn(bc, id_col: str, vec_col: str, probes: int):
+def _post_fn(bc, id_col: str, vec_col: str, probes: int,
+             with_rank: bool = False):
     """mapInPandas fn: assign each vector to its `probes` nearest cells.
     The posting rows carry int8 codes + a scale, not the float vector —
     the cell exchange (and the persisted posting table) is ~4x slimmer;
-    cell assignment still reads the full float vector."""
+    cell assignment still reads the full float vector. with_rank=True
+    appends `cell_rank` (0 = nearest cell) so a SELF-query can derive
+    the posting table from the probe table (one Python pass, not two)."""
     def post(batches):
         c = bc.value
         for p in batches:
@@ -439,12 +451,15 @@ def _post_fn(bc, id_col: str, vec_col: str, probes: int):
             codes = [qq.tobytes() for qq in q]
             frames = []
             for j in range(min(probes, cells.shape[1])):
-                frames.append(pd.DataFrame({
+                frame = {
                     id_col: p[id_col].to_numpy(),
                     "cell": cells[:, j].astype(np.int64),
                     "code": codes,
                     "scale": s,
-                }))
+                }
+                if with_rank:
+                    frame["cell_rank"] = np.int32(j)
+                frames.append(pd.DataFrame(frame))
             yield pd.concat(frames, ignore_index=True)
     return post
 
@@ -487,6 +502,19 @@ def ivf_build(emb: DataFrame, id_col: str = "vec_id",
     rows·dim·8 ≤ SAMPLE_MAX_BYTES — at dim 4096 the 100k default would
     otherwise pull ~3 GB through toPandas.
     """
+    bc, n_cells = _train_quantizer(emb, id_col, vec_col, n_cells,
+                                   sample, iters, init)
+    schema = f"{id_col} long, cell long, code binary, scale double"
+    posted = emb.select(id_col, vec_col).mapInPandas(
+        _post_fn(bc, id_col, vec_col, 1), schema=schema).persist()
+    return IvfIndex(bc, posted, id_col, vec_col, n_cells)
+
+
+def _train_quantizer(emb: DataFrame, id_col: str, vec_col: str,
+                     n_cells: int | None, sample: int, iters: int,
+                     init: str):
+    """Driver-side coarse-quantizer training shared by ivf_build and the
+    one-shot ivf_topk: returns (broadcast centroids, n_cells)."""
     spark = emb.sparkSession
     if n_cells is None:
         # the full count job runs ONLY for the derived-n_cells form — with
@@ -515,11 +543,7 @@ def ivf_build(emb: DataFrame, id_col: str = "vec_id",
     mat = _norm_rows(np.asarray(pdf[vec_col].tolist(), dtype=np.float64))
     cent = kmeans_np(mat, n_cells, iters=iters,
                      init_cent=mat if init == "by_id" else None)
-    bc = spark.sparkContext.broadcast(cent)
-    schema = f"{id_col} long, cell long, code binary, scale double"
-    posted = emb.select(id_col, vec_col).mapInPandas(
-        _post_fn(bc, id_col, vec_col, 1), schema=schema).persist()
-    return IvfIndex(bc, posted, id_col, vec_col, n_cells)
+    return spark.sparkContext.broadcast(cent), n_cells
 
 
 _IVF_META_SCHEMA = ("id_col string, vec_col string, n_cells int, "
@@ -620,7 +644,15 @@ def ivf_query(index: IvfIndex, queries: DataFrame, k: int = 1,
     probed = queries.select(id_col, vec_col).mapInPandas(
         _post_fn(index.centroids_bc, id_col, vec_col, nprobe),
         schema=schema).localCheckpoint()
-    grouped = _bounded_groups(index.posted, probed, ["cell"], id_col,
+    return _ivf_rank(index.posted, probed, id_col, k, max_group,
+                     exact_ties)
+
+
+def _ivf_rank(posted: DataFrame, probed: DataFrame, id_col: str, k: int,
+              max_group: int, exact_ties: bool) -> DataFrame:
+    """Shared IVF scoring tail: bound both sides, score per (cell, salt)
+    group, dedup + rank."""
+    grouped = _bounded_groups(posted, probed, ["cell"], id_col,
                               max_group)
     if exact_ties:
         scored = grouped.groupBy("cell", "salt").applyInPandas(
@@ -631,6 +663,7 @@ def ivf_query(index: IvfIndex, queries: DataFrame, k: int = 1,
         grouped.groupBy("cell", "salt")
         .applyInPandas(_score_group_fn(id_col),
                        schema=f"{id_col} long, neighbor_id long, cos double")
+        .repartition(id_col)  # one exchange serves dedup-agg AND window
         .groupBy(id_col, "neighbor_id")
         .agg(F.max("cos").alias("cos"))
     )
@@ -647,11 +680,25 @@ def ivf_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
              max_group: int = MAX_GROUP, iters: int = 10,
              init: str = "sample", exact_ties: bool = False) -> DataFrame:
     """One-shot IVF self-query: build the index over `emb` and query it
-    with the same rows (the gate/bench form of ivf_build + ivf_query)."""
-    index = ivf_build(emb, id_col, vec_col, n_cells=n_cells, sample=sample,
-                      iters=iters, init=init)
-    return ivf_query(index, emb, k=k, nprobe=nprobe, max_group=max_group,
-                     exact_ties=exact_ties)
+    with the same rows (the gate/bench form of ivf_build + ivf_query).
+
+    Self-query shape (r6): corpus and queries are the SAME rows, so ONE
+    posting pass with `cell_rank` carried serves both sides — the
+    posting table is the rank-0 slice of the probe table (identical
+    rows to a separate probes=1 pass: argsort is stable and the
+    quantized codes are the same function of the vector). Halves the
+    Python passes over the corpus vs build-then-query."""
+    bc, n_cells = _train_quantizer(emb, id_col, vec_col, n_cells,
+                                   sample, iters, init)
+    nprobe = min(nprobe, n_cells)
+    schema = (f"{id_col} long, cell long, code binary, scale double, "
+              "cell_rank int")
+    pr = emb.select(id_col, vec_col).mapInPandas(
+        _post_fn(bc, id_col, vec_col, nprobe, with_rank=True),
+        schema=schema).localCheckpoint()
+    posted = pr.filter(F.col("cell_rank") == 0).drop("cell_rank")
+    probed = pr.drop("cell_rank")
+    return _ivf_rank(posted, probed, id_col, k, max_group, exact_ties)
 
 
 N_TABLES = 8
@@ -781,6 +828,7 @@ def lsh_topk(emb: DataFrame, k: int = 1, id_col: str = "vec_id",
         grouped.groupBy("table", "bucket", "salt")
         .applyInPandas(_score_group_fn(id_col),
                        schema=f"{id_col} long, neighbor_id long, cos double")
+        .repartition(id_col)  # one exchange serves dedup-agg AND window
         .groupBy(id_col, "neighbor_id")
         .agg(F.max("cos").alias("cos"))
     )
