@@ -156,6 +156,12 @@ def _q_qf_conv_filter(spark, sf_dir):
 
 
 def _q_qf_reason_histogram(spark, sf_dir):
+    # NOTE (r6, measured): exploding the reasons ARRAY directly looks
+    # cheaper than this CSV round-trip but is ~2x SLOWER — collapsing the
+    # full reasons expression (HOF lambdas included) into the Generate
+    # node drops it out of whole-stage codegen; the join-then-split form
+    # keeps the heavy expression in a codegen'd Project and explodes a
+    # trivial split. Keep the round-trip.
     lab = _q_qf_pipeline(spark, sf_dir)
     return (
         lab.select(F.explode(F.split("drop_reasons", ",")).alias("reason"))

@@ -246,12 +246,14 @@ def resolve_groups(pairs: DataFrame, a_col: str = "doc_a",
         .unionByName(pairs.select(F.col(b_col).alias("src"),
                                   F.col(a_col).alias("dst")))
         .distinct()
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     if driver_max_edges is not None:
-        # ONE bounded action (probe and fetch together — a separate
-        # probe count would recompute the pairs subtree a second time for
-        # the fetch); driver memory is capped by the threshold, never by
-        # the edge count
+        # the edge table is already materialized (ONE parallel job — the
+        # eager checkpoint both paths need; a lazy checkpoint probed via
+        # limit().collect() instead pays CollectLimit's incremental job
+        # ladder over cold partitions). The probe and the fetch read the
+        # cached blocks; driver memory is capped by the threshold, never
+        # by the edge count.
         rows = edges.limit(driver_max_edges + 1).collect()
         if len(rows) <= driver_max_edges:
             labels = _union_find_min_labels([(r[0], r[1]) for r in rows])
