@@ -510,3 +510,22 @@ def test_hot_band_guard_bounds_identical_class(spark):
 
     sh = dedup.simhash_pairs(df, max_hamming=3, max_band_members=16)
     assert sh.count() <= 400 * 16
+
+
+def test_capped_bands_matches_inline_rank_and_caches(spark):
+    """MinHashIndex.capped_bands (r6: computed once per static index)
+    must equal the inline window-rank form and be cached per cap."""
+    from pyspark.sql import Window, functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"shared boilerplate text block number {i % 3}")
+         for i in range(40)], "doc_id long, text string")
+    idx = dedup.minhash_build(docs, persist=False)
+    cap = 5
+    got = {tuple(r) for r in idx.capped_bands(cap).collect()}
+    w = Window.partitionBy("band", "band_hash").orderBy("doc_id")
+    want = {tuple(r) for r in
+            (idx.bands.withColumn("_rk", F.row_number().over(w))
+             .filter(F.col("_rk") <= cap).drop("_rk")).collect()}
+    assert got == want and len(got) > 0
+    assert idx.capped_bands(cap) is idx.capped_bands(cap)  # cached

@@ -200,3 +200,15 @@ def test_ann_member_cap_gets_partial_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan.split("WindowGroupLimit", 1)[1][:200] \
         or plan.count("WindowGroupLimit") >= 2
+
+
+def test_quality_pass_ids_equals_filtered_scores(spark):
+    """The r6 pushdown-barrier form must keep the exact pass set of
+    quality_scores(...).filter('passes')."""
+    from data_quality_check_spark.operators import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fast = {r[0] for r in textstats.quality_pass_ids(docs).collect()}
+    ref = {r[0] for r in textstats.quality_scores(docs)
+           .filter("passes").select("doc_id").collect()}
+    assert fast == ref and len(fast) > 0

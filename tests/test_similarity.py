@@ -342,3 +342,19 @@ def test_ivf_index_build_once_query_many(emb, np_corpus):
             similarity.ivf_query(index, sub, k=1, nprobe=4).collect()}
     assert part == {q: n for q, n in full.items() if q % 10 == 0}
     index.posted.unpersist()
+
+
+def test_ivf_topk_selfquery_equals_build_then_query(emb):
+    """The r6 single-posting-pass self-query (ivf_topk) must produce the
+    exact rows of the two-pass ivf_build + ivf_query composition, in both
+    tie modes (posting = rank-0 slice of the probe table; argsort is
+    stable, so the slices are identical by construction — pinned here)."""
+    for exact in (False, True):
+        one = {tuple(r) for r in similarity.ivf_topk(
+            emb, k=3, n_cells=8, nprobe=3, iters=0, init="by_id",
+            exact_ties=exact).collect()}
+        index = similarity.ivf_build(emb, n_cells=8, iters=0, init="by_id")
+        two = {tuple(r) for r in similarity.ivf_query(
+            index, emb, k=3, nprobe=3, exact_ties=exact).collect()}
+        index.posted.unpersist()
+        assert one == two
