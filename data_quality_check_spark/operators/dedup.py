@@ -258,16 +258,21 @@ def resolve_groups(pairs: DataFrame, a_col: str = "doc_a",
     if driver_max_edges is not None:
         # the edge table is already materialized (ONE parallel job — the
         # eager checkpoint both paths need; a lazy checkpoint probed via
-        # limit().collect() instead pays CollectLimit's incremental job
-        # ladder over cold partitions). The probe and the fetch read the
-        # cached blocks; driver memory is capped by the threshold, never
-        # by the edge count.
-        rows = edges.limit(driver_max_edges + 1).collect()
-        if len(rows) <= driver_max_edges:
-            labels = _union_find_min_labels([(r[0], r[1]) for r in rows])
+        # limit() instead pays CollectLimit's incremental job ladder over
+        # cold partitions). The probe and the fetch read the cached
+        # blocks THROUGH ARROW (toPandas — a row-based collect() spends
+        # ~0.5s/50k edges in py4j deserialization alone); driver memory
+        # is capped by the threshold, never by the edge count.
+        pdf = edges.limit(driver_max_edges + 1).toPandas()
+        if len(pdf) <= driver_max_edges:
+            labels = _union_find_min_labels(
+                list(zip(pdf["src"].tolist(), pdf["dst"].tolist())))
+            import pandas as _pd
+            out = _pd.DataFrame(sorted(labels.items()),
+                                columns=["doc_id", "group_id"])
             spark = pairs.sparkSession
-            return spark.createDataFrame(
-                sorted(labels.items()), "doc_id long, group_id long")
+            return spark.createDataFrame(out.astype("int64"),
+                                         "doc_id long, group_id long")
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
