@@ -60,8 +60,15 @@ def curate_corpus(
     if quality_model_bc is not None:
         qm = textstats.quality_model_table(
             cur, quality_model_bc, threshold=min_quality)
-        cur = cur.join(
-            qm.filter("keep_quality").select("doc_id"), "doc_id")
+        # pushdown barrier (guide §4.4 shape): a filter on the UDF-derived
+        # keep_quality column otherwise gets pushed below the projection
+        # with the scoring UDF substituted in — every surviving row would
+        # pay the quality model twice
+        qm = qm.withColumn("_nd", F.spark_partition_id())
+        keep = (qm.filter(F.when(F.col("_nd") >= 0, F.col("keep_quality"))
+                          .otherwise(F.lit(False)))
+                .select("doc_id"))
+        cur = cur.join(keep, "doc_id")
 
     if blocked_hosts is not None or domain_cap is not None:
         cur = domains.with_host(cur)
